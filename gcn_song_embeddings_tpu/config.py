@@ -1,0 +1,113 @@
+"""Typed configuration for the framework.
+
+The reference has no config system: hyperparameters are hard-coded attributes
+of the trainer (reference pinsage_training.py:119-152) overridden by attribute
+pokes / `exec` (reference dashboard.py:68, grid_search.py:26-27).  Here every
+knob is an explicit dataclass field with the reference default, serializable
+to/from JSON for runs and grid searches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class WalkConfig:
+    """Random-walk / PPR neighborhood sampling knobs.
+
+    Matches reference semantics (pinsage_model.py:16-18, 32-53):
+      * one "hop" = item -> collection -> item (two graph steps),
+      * `alpha` is the probability of restarting to the origin AFTER each hop
+        (the reference's inverted-PPR convention, pinsage_model.py:50-51),
+      * visit probabilities are normalized counts with the self column zeroed
+        (pinsage_model.py:96-99).
+    """
+
+    n_hops: int = 500            # walks per node (trace length)
+    alpha: float = 0.85          # restart probability applied after every hop
+    t_precompute: int = 100      # neighborhood size stored in the cache
+    batch_walkers: int = 4096    # walker rows per device sweep batch
+
+
+@dataclass(frozen=True)
+class PinSageConfig:
+    """PinSage model shape (reference pinsage_training.py:127-137)."""
+
+    n_layers: int = 2
+    in_dim: int = 512            # node feature dim (OpenL3 -> 512)
+    hidden_dim: int = 512        # neighbor aggregate dim (Q output)
+    out_dim: int = 128           # conv output + final embedding dim
+    T: int = 3                   # neighbors aggregated per node
+    bias_init: float = 0.3      # reference fills all biases with 0.3
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Trainer knobs (reference pinsage_training.py:119-152)."""
+
+    lr: float = 1e-4
+    decay: float = 0.95          # ExponentialLR gamma, stepped per epoch
+    margin: float = 1e-5
+    epochs: int = 30
+    batch_size: int = 128
+    batches_per_epoch: int = 500
+    hard_negatives: bool = False
+    hn_min: int = 10             # hard negative PPR rank range [hn_min, hn_max)
+    hn_max: int = 100
+    seed: int = 0
+    checkpoint_every_batches: int = 500   # reference wrote EVERY batch
+    # (pinsage_training.py:248-249) — capability kept, cadence fixed.
+    dtype: str = "float32"       # compute dtype for the conv stack
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """One full training run = model + trainer + sampling config."""
+
+    run_name: str = "pinsage_tpu"
+    walk: WalkConfig = field(default_factory=WalkConfig)
+    model: PinSageConfig = field(default_factory=PinSageConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "RunConfig":
+        raw = json.loads(text)
+        return RunConfig(
+            run_name=raw.get("run_name", "pinsage_tpu"),
+            walk=WalkConfig(**raw.get("walk", {})),
+            model=PinSageConfig(**raw.get("model", {})),
+            train=TrainConfig(**raw.get("train", {})),
+        )
+
+    def replace(self, **kwargs: Any) -> "RunConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def config_with_overrides(base: RunConfig, overrides: dict[str, Any]) -> RunConfig:
+    """Apply dotted-path overrides like {"train.lr": 1e-3, "model.T": 5}.
+
+    This replaces the reference's `exec`-based hyperparameter poking
+    (grid_search.py:26-27, baselines.py:347-348) with a safe, typed scheme.
+    """
+    sections: dict[str, dict[str, Any]] = {}
+    top: dict[str, Any] = {}
+    for key, value in overrides.items():
+        if "." in key:
+            section, name = key.split(".", 1)
+            sections.setdefault(section, {})[name] = value
+        else:
+            top[key] = value
+    new = base
+    for section, vals in sections.items():
+        cur = getattr(new, section)
+        new = new.replace(**{section: dataclasses.replace(cur, **vals)})
+    if top:
+        new = new.replace(**top)
+    return new

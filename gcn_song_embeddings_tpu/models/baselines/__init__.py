@@ -1,0 +1,17 @@
+from gcn_song_embeddings_tpu.models.baselines.base import (  # noqa: F401
+    PredictionModel,
+    EmbeddingModel,
+)
+from gcn_song_embeddings_tpu.models.baselines.simple import (  # noqa: F401
+    Random,
+    EmbLoader,
+    PersPageRank,
+    JaccardFast,
+)
+from gcn_song_embeddings_tpu.models.baselines.mf import (  # noqa: F401
+    TrackTrackCF,
+    ColTrackCF,
+)
+from gcn_song_embeddings_tpu.models.baselines.pinsage_wrapper import (  # noqa: F401
+    PinSageWrapper,
+)

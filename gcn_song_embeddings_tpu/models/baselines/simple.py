@@ -1,0 +1,139 @@
+"""Simple baselines: Random, EmbLoader, PersPageRank, JaccardFast.
+
+Capabilities of reference baselines.py:107-151 (PersPageRank), 194-220
+(JaccardFast), 281-328 (EmbLoader), 380-397 (Random) — re-designed on the
+framework's device kernels: PersPageRank reuses the walk/PPR kernels at query
+time, JaccardFast computes its intersection counts with one sparse SpGEMM and
+scores/topks on device, EmbLoader serves any saved embedding matrix through
+the tiled cosine-topk kernel.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_song_embeddings_tpu.data.device import DeviceGraph
+from gcn_song_embeddings_tpu.models.baselines.base import (
+    EmbeddingModel,
+    PredictionModel,
+)
+from gcn_song_embeddings_tpu.ops.knn import knn_from_emb
+from gcn_song_embeddings_tpu.ops.ppr import visit_counts_topt
+from gcn_song_embeddings_tpu.ops.walks import random_walks
+
+
+class Random(PredictionModel):
+    """Random recommendations (reference Random, baselines.py:380-397)."""
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+
+    def train(self, graph, ids, train_set, test_set, features) -> None:
+        self.n = len(ids)
+
+    def knn(self, nodeset, k):
+        rng = np.random.default_rng(self.seed)
+        nodes = np.stack([rng.permutation(self.n)[:k]
+                          for _ in range(len(nodeset))])
+        return np.ones_like(nodes, dtype=np.float32), nodes.astype(np.int32)
+
+
+class EmbLoader(EmbeddingModel):
+    """Serve precomputed embeddings as a recommender
+    (reference EmbLoader, baselines.py:297-328).
+
+    Accepts a single `<dir>/emb.npy` / explicit .npy path (this framework's
+    artifact) or a directory of per-id `.npy` / `.pt` files (reference
+    layout, pinsage_training.py:297-327).
+    """
+
+    def __init__(self, load_path: str):
+        self.load_path = load_path
+        self.embedding: np.ndarray | None = None
+
+    def train(self, graph, ids, train_set, test_set, features) -> None:
+        p = self.load_path
+        if os.path.isfile(p) and p.endswith(".npy"):
+            self.embedding = np.load(p)
+        elif os.path.isfile(os.path.join(p, "emb.npy")):
+            self.embedding = np.load(os.path.join(p, "emb.npy"))
+        else:
+            from gcn_song_embeddings_tpu.data.graph import load_feature_dir
+
+            self.embedding = load_feature_dir(p, ids)
+        if self.embedding.shape[0] != len(ids):
+            raise ValueError(
+                f"embedding rows {self.embedding.shape[0]} != ids {len(ids)}")
+
+    def embed(self, nodeset):
+        return self.embedding[np.asarray(nodeset)]
+
+    def knn(self, nodeset, k):
+        return knn_from_emb(self.embedding, np.asarray(nodeset), k)
+
+
+class PersPageRank(PredictionModel):
+    """PPR-at-query-time recommender (reference PersPageRank,
+    baselines.py:107-151: same restart walks with n_hops=1000, executed per
+    kNN query).  Runs entirely on device via the walk + top-T kernels."""
+
+    def __init__(self, n_hops: int = 1000, alpha: float = 0.85,
+                 seed: int = 0, batch_size: int = 1024):
+        self.n_hops = n_hops
+        self.alpha = alpha
+        self.seed = seed
+        self.batch_size = batch_size
+
+    def train(self, graph, ids, train_set, test_set, features) -> None:
+        self.device_graph = DeviceGraph.from_graph(graph)
+
+    def knn(self, nodeset, k):
+        nodeset = np.asarray(nodeset, dtype=np.int32)
+        nq = len(nodeset)
+        bs = self.batch_size
+        key = jax.random.PRNGKey(self.seed)
+        w_out = np.empty((nq, k), dtype=np.float32)
+        n_out = np.empty((nq, k), dtype=np.int32)
+        for start in range(0, nq, bs):
+            stop = min(start + bs, nq)
+            block = np.full((bs,), nodeset[stop - 1], dtype=np.int32)
+            block[: stop - start] = nodeset[start:stop]
+            bkey = jax.random.fold_in(key, start)
+            trace = random_walks(self.device_graph, jnp.asarray(block),
+                                 self.n_hops, self.alpha, bkey)
+            w, n = visit_counts_topt(trace, jnp.asarray(block), k)
+            w_out[start:stop] = np.asarray(w)[: stop - start]
+            n_out[start:stop] = np.asarray(n)[: stop - start]
+        return w_out, n_out
+
+
+class JaccardFast(PredictionModel):
+    """Jaccard similarity over playlist membership (reference JaccardFast,
+    baselines.py:194-220): intersections = C^T C via sparse SpGEMM,
+    |union| = deg_a + deg_b - |intersection|, scores topk'd on device.
+
+    Matches the reference output shape quirk: topk(k) then drop column 0
+    (so k-1 columns are returned, assuming self ranks first)."""
+
+    def train(self, graph, ids, train_set, test_set, features) -> None:
+        from gcn_song_embeddings_tpu.data.graph import col_track_matrix
+
+        ct = col_track_matrix(graph)                     # [C, N] 0/1
+        inter = (ct.T @ ct).tocsr()                      # [N, N] SpGEMM
+        self.intersections = inter
+        self.nbh_sizes = np.asarray(inter.diagonal()).ravel()
+
+    def knn(self, nodeset, k):
+        nodeset = np.asarray(nodeset, dtype=np.int64)
+        inter = np.asarray(
+            self.intersections[nodeset, :].todense(), dtype=np.float32)
+        deg_a = self.nbh_sizes[nodeset][:, None].astype(np.float32)
+        deg_b = self.nbh_sizes[None, :].astype(np.float32)
+        union = deg_a + deg_b - inter
+        scores = jnp.asarray(inter) / (jnp.asarray(union) + 1e-10)
+        w, n = jax.lax.top_k(scores, k)
+        return np.asarray(w)[:, 1:], np.asarray(n)[:, 1:]

@@ -1,0 +1,171 @@
+"""Functional PinSage model: importance-weighted conv stack + G1/G2 head.
+
+Numerics mirror the reference exactly (pinsage_model.py:171-265):
+
+  ConvLayer(h_self [B,Din], h_nb [B,T,Din], w [B,T]):
+      q    = leaky_relu(h_nb @ Wq^T + bq)                  # per-neighbor MLP Q
+      agg  = sum_t(w_t * q_t) / sum_t(w_t)                 # importance mean
+      out  = leaky_relu(concat([h_self, agg]) @ Ww^T + bw) # post-agg MLP W
+      out  = out / ||out||_2                               # row L2 norm
+  head(x) = G2 @ leaky_relu(G1 @ x + b1)                   # G2 has no bias
+
+Init matches the reference: Xavier-uniform weights, biases filled with 0.3
+(pinsage_model.py:182-187, 239-244).
+
+The L-layer "nodeflow" is where the design departs from the reference.  The
+reference builds dynamic frontier sets with `torch.unique`
+(pinsage_model.py:142-168) and scatters activations back into a full-graph
+buffer per layer (`put_embeddings` clones the whole [N, D] h every forward —
+SURVEY §3.1 calls this out as a hot spot).  Dynamic shapes defeat XLA, so we
+instead expand frontiers WITHOUT dedup: frontier_l = concat([frontier_{l-1},
+topT_neighbors(frontier_{l-1}).flatten()]) has static size B*(T+1)^l.
+Duplicated nodes recompute identical activations, so per-node outputs are
+bit-identical to the reference while every shape is static and the whole
+forward is one fused XLA program (for B=128, T=3, L=2 the deepest frontier is
+2048 rows — trivially cheaper than an O(N*D) clone per layer).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ConvParams(NamedTuple):
+    Wq: jnp.ndarray  # [hidden, in_dim]
+    bq: jnp.ndarray  # [hidden]
+    Ww: jnp.ndarray  # [out, in_dim + hidden]
+    bw: jnp.ndarray  # [out]
+
+
+class PinSageParams(NamedTuple):
+    layers: tuple[ConvParams, ...]
+    G1_w: jnp.ndarray  # [out, out]
+    G1_b: jnp.ndarray  # [out]
+    G2_w: jnp.ndarray  # [out, out]
+
+
+def _xavier_uniform(key: jax.Array, shape: tuple[int, int],
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """torch.nn.init.xavier_uniform_ equivalent: U(-a, a),
+    a = sqrt(6 / (fan_in + fan_out)) with (fan_out, fan_in) weight layout."""
+    fan_out, fan_in = shape
+    a = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
+
+
+def init_pinsage(key: jax.Array, n_layers: int, in_dim: int, hidden_dim: int,
+                 out_dim: int, bias_init: float = 0.3,
+                 dtype=jnp.float32) -> PinSageParams:
+    """Initialize parameters (reference pinsage_model.py:174-187, 218-244).
+
+    Layer l has input dim `in_dim` for l=0 and `out_dim` afterwards
+    (pinsage_model.py:232), all layers output `out_dim`.
+    """
+    in_dims = [in_dim] + [out_dim] * (n_layers - 1)
+    keys = jax.random.split(key, 2 * n_layers + 2)
+    layers = []
+    for l in range(n_layers):
+        wq = _xavier_uniform(keys[2 * l], (hidden_dim, in_dims[l]), dtype)
+        ww = _xavier_uniform(keys[2 * l + 1],
+                             (out_dim, in_dims[l] + hidden_dim), dtype)
+        layers.append(ConvParams(
+            Wq=wq, bq=jnp.full((hidden_dim,), bias_init, dtype),
+            Ww=ww, bw=jnp.full((out_dim,), bias_init, dtype)))
+    g1 = _xavier_uniform(keys[-2], (out_dim, out_dim), dtype)
+    g2 = _xavier_uniform(keys[-1], (out_dim, out_dim), dtype)
+    return PinSageParams(layers=tuple(layers), G1_w=g1,
+                         G1_b=jnp.full((out_dim,), bias_init, dtype), G2_w=g2)
+
+
+def conv_apply(p: ConvParams, h_self: jnp.ndarray, h_nb: jnp.ndarray,
+               nb_w: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """One PinSage convolution (reference ConvLayer.forward,
+    pinsage_model.py:189-212).
+
+    h_self: [B, Din]; h_nb: [B, T, Din]; nb_w: [B, T].
+    """
+    q = jax.nn.leaky_relu(
+        jnp.einsum("btd,hd->bth", h_nb, p.Wq,
+                   preferred_element_type=jnp.float32) + p.bq)
+    w_sum = nb_w.sum(axis=1, keepdims=True)
+    # Guard all-zero neighborhoods (isolated origin whose walks only ever
+    # revisit itself); the reference divides by zero here.
+    denom = jnp.where(w_sum == 0.0, 1.0, w_sum) + eps
+    agg = (nb_w[:, :, None] * q).sum(axis=1) / denom
+    concat = jnp.concatenate([h_self, agg], axis=1)
+    new_h = jax.nn.leaky_relu(
+        jnp.dot(concat, p.Ww.T, preferred_element_type=jnp.float32) + p.bw)
+    norm = jnp.linalg.norm(new_h, axis=1, keepdims=True)
+    return new_h / jnp.where(norm == 0.0, 1.0, norm)
+
+
+def head_apply(params: PinSageParams, x: jnp.ndarray) -> jnp.ndarray:
+    """Final G2(leaky_relu(G1(x))) head, applied to the output nodeset only,
+    NOT re-normalized (pinsage_model.py:259; the loss normalizes)."""
+    hidden = jax.nn.leaky_relu(
+        jnp.dot(x, params.G1_w.T, preferred_element_type=jnp.float32)
+        + params.G1_b)
+    return jnp.dot(hidden, params.G2_w.T, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_layers", "T"))
+def pinsage_forward(params: PinSageParams, features: jnp.ndarray,
+                    nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
+                    nodeset: jnp.ndarray, n_layers: int, T: int
+                    ) -> jnp.ndarray:
+    """Embed `nodeset` rows: [B] -> [B, out_dim].
+
+    Args:
+      features: [N, in_dim] z-normalized node features.
+      nbhd_weights / nbhd_nodes: [N, >=T] precomputed PPR neighborhoods
+        (from ops.ppr.precompute_neighborhoods); the top-T slice is used,
+        like `relevant_nodes_per_layer_precomp` (pinsage_model.py:156-168).
+      nodeset: [B] int32 item ids.
+    """
+    nodeset = nodeset.astype(jnp.int32)
+
+    # Top-down frontier expansion (static shapes: B*(T+1)^l).
+    frontiers = [nodeset]
+    nb_per_level: list[tuple[jnp.ndarray, jnp.ndarray]] = []
+    for _ in range(n_layers):
+        f = frontiers[-1]
+        nb_n = nbhd_nodes[f, :T].astype(jnp.int32)   # [m, T]
+        nb_w = nbhd_weights[f, :T].astype(jnp.float32)
+        nb_per_level.append((nb_w, nb_n))
+        frontiers.append(jnp.concatenate([f, nb_n.reshape(-1)]))
+
+    # Bottom-up conv stack.  Computing h over frontiers[l] consumes h over
+    # frontiers[l+1] = concat([frontiers[l], neighbors(frontiers[l])]), so
+    # the self block is h[:m] and the neighbor block is h[m:].
+    h = features[frontiers[n_layers]]
+    for l in reversed(range(n_layers)):
+        m = frontiers[l].shape[0]
+        nb_w, _ = nb_per_level[l]
+        h_self = h[:m]
+        h_nb = h[m:].reshape(m, T, h.shape[1])
+        # conv layer index: deepest frontier uses conv_layers[0]
+        # (reference pinsage_model.py:255: S[0] is the largest frontier).
+        h = conv_apply(params.layers[n_layers - 1 - l], h_self, h_nb, nb_w)
+
+    return head_apply(params, h)
+
+
+def embed_all(params: PinSageParams, features: jnp.ndarray,
+              nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
+              n_items: int, n_layers: int, T: int,
+              batch_size: int = 1024) -> jnp.ndarray:
+    """Embed every item in batches (reference PinSage.embed + save_embeddings,
+    pinsage_training.py:258-327) -> [n_items, out_dim] on host."""
+    import numpy as np
+
+    outs = []
+    for start in range(0, n_items, batch_size):
+        ids = np.arange(start, start + batch_size, dtype=np.int32) % n_items
+        out = pinsage_forward(params, features, nbhd_weights, nbhd_nodes,
+                              jnp.asarray(ids), n_layers, T)
+        outs.append(np.asarray(out)[: min(batch_size, n_items - start)])
+    return jnp.asarray(np.concatenate(outs, axis=0))

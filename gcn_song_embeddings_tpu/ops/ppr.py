@@ -1,0 +1,129 @@
+"""PPR visit-count estimation + top-T neighborhood selection, on device.
+
+Reference math (pinsage_model.py:88-107): scatter walk traces into a
+[B, n_all_nodes] float64 visit-count matrix, normalize rows to probabilities,
+zero the self column, take top-T.  Materializing B x N is hostile to HBM and
+to XLA (the matrix is 99.9% zeros).  The TPU-native equivalent used here is
+sort-based run-length counting with fully static shapes:
+
+    sort each trace row  ->  run starts  ->  run ids (cumsum)  ->
+    per-run counts (segment_sum)  ->  per-run node values  ->  top-T of runs
+
+A trace row of H hops has at most H distinct nodes, so every intermediate is
+[B, H] — independent of graph size.  Numerics match the reference exactly:
+weight(node) = visits / H (row sums of visit counts are always H because every
+hop records a visit), and the self column is zeroed before top-T
+(pinsage_model.py:98-99), which is why top-T weights do NOT sum to 1 — the
+conv layer re-normalizes (SURVEY §7b.2).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_song_embeddings_tpu.config import WalkConfig
+from gcn_song_embeddings_tpu.data.device import DeviceGraph
+from gcn_song_embeddings_tpu.ops.walks import random_walks
+
+
+@partial(jax.jit, static_argnames=("T",))
+def visit_counts_topt(trace: jnp.ndarray, nodeset: jnp.ndarray, T: int
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-T visited nodes per trace row.
+
+    Args:
+      trace: [B, H] int32 — items visited per hop (from `random_walks`).
+      nodeset: [B] int32 — walk origins (their visits are zeroed out).
+      T: neighborhood size.
+
+    Returns:
+      (weights [B, T] float32, nodes [B, T] int32) — visit probabilities
+      (visits / H) sorted descending, self excluded.  If a row has fewer than
+      T distinct visited nodes, the tail has weight 0 (node id undefined but
+      harmless: zero weight contributes nothing to the weighted aggregate,
+      mirroring the reference where zero-visit nodes fill the tail).
+    """
+    B, H = trace.shape
+    nodeset = nodeset.astype(jnp.int32)
+
+    s = jnp.sort(trace, axis=1)                                   # [B, H]
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1)
+    run_id = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1    # [B, H]
+
+    seg_sum = jax.vmap(
+        lambda data, seg: jax.ops.segment_sum(data, seg, num_segments=H))
+    counts = seg_sum(jnp.ones_like(s, dtype=jnp.float32), run_id)  # [B, H]
+    # one start per run -> per-run node value
+    values = seg_sum(jnp.where(is_start, s, 0).astype(jnp.float32),
+                     run_id).astype(jnp.int32)                     # [B, H]
+
+    weights = counts / jnp.float32(H)
+    weights = jnp.where(values == nodeset[:, None], 0.0, weights)  # zero self
+    if T > H:
+        pad = T - H
+        weights = jnp.pad(weights, ((0, 0), (0, pad)))
+        values = jnp.pad(values, ((0, 0), (0, pad)))
+    top_w, top_idx = jax.lax.top_k(weights, T)
+    top_nodes = jnp.take_along_axis(values, top_idx, axis=1)
+    return top_w, top_nodes
+
+
+@partial(jax.jit, static_argnames=("n_hops", "T"))
+def sample_neighborhood_topt(graph: DeviceGraph, nodeset: jnp.ndarray,
+                             n_hops: int, alpha: float, T: int,
+                             key: jax.Array
+                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Walks + top-T in one jit — reference `sample_neighborhood_topt`
+    (pinsage_model.py:103-107)."""
+    trace = random_walks(graph, nodeset, n_hops, alpha, key)
+    return visit_counts_topt(trace, nodeset, T)
+
+
+def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
+                             path: str | None, seed: int = 0,
+                             verbose: bool = False
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """All-node top-`cfg.t_precompute` PPR neighborhood sweep with caching.
+
+    Reference `precompute_neighborhoods_topt` (pinsage_model.py:109-132):
+    batched sweep, artifact save/load with shape validation.  The artifact is
+    a .npz holding float32 `weights` [N, T] and int32 `nodes` [N, T]
+    (instead of the reference's weights-first torch tuple).
+    """
+    n_items = graph.n_items
+    T = cfg.t_precompute
+
+    if path is not None and os.path.isfile(path):
+        with np.load(path) as z:
+            weights, nodes = z["weights"], z["nodes"]
+        if weights.shape == (n_items, T):
+            return weights, nodes
+
+    bs = cfg.batch_walkers
+    all_w = np.zeros((n_items, T), dtype=np.float32)
+    all_n = np.zeros((n_items, T), dtype=np.int32)
+    base_key = jax.random.PRNGKey(seed)
+
+    for start in range(0, n_items, bs):
+        stop = min(start + bs, n_items)
+        # Pad the tail batch to keep a single compiled shape.
+        nodeset = np.arange(start, start + bs, dtype=np.int32) % n_items
+        key = jax.random.fold_in(base_key, start)
+        w, n = sample_neighborhood_topt(
+            graph, jnp.asarray(nodeset), cfg.n_hops, cfg.alpha, T, key)
+        valid = stop - start
+        all_w[start:stop] = np.asarray(w)[:valid]
+        all_n[start:stop] = np.asarray(n)[:valid]
+        if verbose:
+            print(f"neighborhoods: {stop}/{n_items} done")
+
+    if path is not None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(path, weights=all_w, nodes=all_n)
+    return all_w, all_n

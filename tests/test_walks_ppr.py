@@ -1,0 +1,149 @@
+"""Statistical + exactness tests for the walk / PPR kernels.
+
+The reference's walk loop is RNG-dependent, so parity is statistical
+(SURVEY §8 hard part (f)): visit distributions must match a brute-force
+simulation of the same Markov chain, and the counting/top-T path must be
+EXACT against a numpy scatter-count oracle for fixed traces.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_song_embeddings_tpu.ops.ppr import (
+    precompute_neighborhoods,
+    sample_neighborhood_topt,
+    visit_counts_topt,
+)
+from gcn_song_embeddings_tpu.ops.walks import random_walks
+from gcn_song_embeddings_tpu.config import WalkConfig
+
+
+def test_visit_counts_topt_exact_vs_scatter_oracle():
+    """Counting + normalization + self-zero + top-T must equal the dense
+    scatter-add reference math (pinsage_model.py:88-107) exactly."""
+    rng = np.random.default_rng(0)
+    B, H, N, T = 16, 64, 40, 5
+    trace = rng.integers(0, N, size=(B, H)).astype(np.int32)
+    nodeset = rng.integers(0, N, size=(B,)).astype(np.int32)
+
+    w, n = visit_counts_topt(jnp.asarray(trace), jnp.asarray(nodeset), T)
+    w, n = np.asarray(w), np.asarray(n)
+
+    # dense oracle
+    counts = np.zeros((B, N))
+    for i in range(B):
+        np.add.at(counts[i], trace[i], 1.0)
+    probs = counts / counts.sum(1, keepdims=True)
+    probs[np.arange(B), nodeset] = 0.0
+
+    for i in range(B):
+        order = np.argsort(-probs[i], kind="stable")[:T]
+        np.testing.assert_allclose(np.sort(w[i])[::-1],
+                                   np.sort(probs[i][order])[::-1],
+                                   atol=1e-6)
+        # node sets must agree wherever weights are positive
+        got = {int(n[i, j]) for j in range(T) if w[i, j] > 0}
+        # ties at the cutoff weight can legitimately differ; compare weights
+        want_w = np.sort(probs[i][order])[::-1]
+        got_w = np.sort(w[i])[::-1]
+        np.testing.assert_allclose(got_w, want_w, atol=1e-6)
+        # every reported positive node really has that visit probability
+        for j in range(T):
+            if w[i, j] > 0:
+                np.testing.assert_allclose(w[i, j], probs[i][n[i, j]],
+                                           atol=1e-6)
+        assert int(nodeset[i]) not in got
+
+
+def test_walk_trace_shape_and_support(device_graph):
+    key = jax.random.PRNGKey(0)
+    nodeset = jnp.arange(32, dtype=jnp.int32)
+    trace = random_walks(device_graph, nodeset, 50, 0.85, key)
+    assert trace.shape == (32, 50)
+    t = np.asarray(trace)
+    assert t.min() >= 0 and t.max() < device_graph.n_items
+
+
+def test_walk_distribution_matches_host_simulation(device_graph):
+    """Visit distribution parity vs an independent numpy simulation of the
+    same chain (item -> uniform collection -> uniform item, restart alpha
+    AFTER each hop)."""
+    n_hops, alpha = 2000, 0.85
+    origin = 7
+
+    # device kernel: many walkers from the same origin
+    B = 64
+    key = jax.random.PRNGKey(1)
+    nodeset = jnp.full((B,), origin, dtype=jnp.int32)
+    trace = np.asarray(random_walks(device_graph, nodeset, n_hops, alpha, key))
+    counts_dev = np.bincount(trace.reshape(-1),
+                             minlength=device_graph.n_items).astype(float)
+    p_dev = counts_dev / counts_dev.sum()
+
+    # host simulation
+    rng = np.random.default_rng(2)
+    i2c_ptr = np.asarray(device_graph.i2c_indptr)
+    i2c_idx = np.asarray(device_graph.i2c_indices)
+    c2i_ptr = np.asarray(device_graph.c2i_indptr)
+    c2i_idx = np.asarray(device_graph.c2i_indices)
+    counts_host = np.zeros(device_graph.n_items)
+    cur = origin
+    for _ in range(n_hops * B):
+        s, e = i2c_ptr[cur], i2c_ptr[cur + 1]
+        col = i2c_idx[rng.integers(s, e)]
+        s, e = c2i_ptr[col], c2i_ptr[col + 1]
+        cur = c2i_idx[rng.integers(s, e)]
+        counts_host[cur] += 1
+        if rng.random() < alpha:
+            cur = origin
+    p_host = counts_host / counts_host.sum()
+
+    # compare top-visited mass: total variation distance must be small
+    tv = 0.5 * np.abs(p_dev - p_host).sum()
+    assert tv < 0.05, f"total variation {tv} too large"
+
+
+def test_restart_rate(device_graph):
+    """alpha is the restart probability AFTER each hop (SURVEY §7b.1):
+    with alpha=1 every hop starts from the origin, so the trace support is
+    exactly the origin's 2-hop neighborhood."""
+    origin = 11
+    key = jax.random.PRNGKey(3)
+    nodeset = jnp.full((8,), origin, dtype=jnp.int32)
+    trace = np.asarray(random_walks(device_graph, nodeset, 200, 1.0, key))
+
+    i2c_ptr = np.asarray(device_graph.i2c_indptr)
+    i2c_idx = np.asarray(device_graph.i2c_indices)
+    c2i_ptr = np.asarray(device_graph.c2i_indptr)
+    c2i_idx = np.asarray(device_graph.c2i_indices)
+    two_hop = set()
+    for c in i2c_idx[i2c_ptr[origin]:i2c_ptr[origin + 1]]:
+        two_hop.update(c2i_idx[c2i_ptr[c]:c2i_ptr[c + 1]].tolist())
+    assert set(np.unique(trace).tolist()) <= two_hop
+
+
+def test_sample_neighborhood_topt_properties(device_graph):
+    key = jax.random.PRNGKey(4)
+    nodeset = jnp.arange(16, dtype=jnp.int32)
+    w, n = sample_neighborhood_topt(device_graph, nodeset, 300, 0.85, 10, key)
+    w, n = np.asarray(w), np.asarray(n)
+    assert w.shape == (16, 10)
+    # descending weights, self excluded, probabilities in [0, 1]
+    assert (np.diff(w, axis=1) <= 1e-7).all()
+    assert (w >= 0).all() and (w <= 1).all()
+    for i in range(16):
+        pos = w[i] > 0
+        assert i not in set(n[i][pos].tolist())
+
+
+def test_precompute_cache_roundtrip(device_graph, tmp_path):
+    cfg = WalkConfig(n_hops=100, t_precompute=8, batch_walkers=256)
+    path = str(tmp_path / "nbhds.npz")
+    w1, n1 = precompute_neighborhoods(device_graph, cfg, path, seed=0)
+    assert w1.shape == (device_graph.n_items, 8)
+    # second call loads the artifact (shape-validated reload,
+    # pinsage_model.py:113-116)
+    w2, n2 = precompute_neighborhoods(device_graph, cfg, path, seed=99)
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(n1, n2)
