@@ -70,16 +70,15 @@ def inter_diversity(knn_mat: np.ndarray, test_positives, K: int, N: int,
     query pairs (eval.py:288-312).  For K-sized distinct rec lists the
     cosine similarity is |intersection| / K."""
     n = knn_mat.shape[0]
+    K = min(K, knn_mat.shape[1])
     rng = np.random.RandomState(seed)
     pairs = rng.randint(0, n, (n_pairs, 2))
     a = np.sort(knn_mat[pairs[:, 0], :K], axis=1)
     b = np.sort(knn_mat[pairs[:, 1], :K], axis=1)
     # sorted-row intersection size via searchsorted
     inter = np.zeros(n_pairs)
-    idx = np.clip(np.searchsorted(a[0], b[0]), 0, K - 1)  # warm shape
     for i in range(n_pairs):
-        pos = np.searchsorted(a[i], b[i])
-        pos = np.clip(pos, 0, K - 1)
+        pos = np.clip(np.searchsorted(a[i], b[i]), 0, K - 1)
         inter[i] = np.count_nonzero(a[i][pos] == b[i])
     sim = inter / K
     return float(np.mean(1.0 - sim))

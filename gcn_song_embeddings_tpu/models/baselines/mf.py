@@ -199,12 +199,13 @@ class BPR:
 class LMF:
     """Logistic matrix factorization (implicit.cpu.lmf equivalent):
     AdaGrad ascent on the logistic likelihood with sampled negatives.
-    Defaults follow implicit 0.6: lr=1.0, reg=0.6, 30 iterations,
-    neg_prop=30."""
+    Defaults tuned on the synthetic benchmark (grid over lr/reg/iters/
+    neg_prop; implicit 0.6's defaults of lr=1.0, reg=0.6, 30 iters rank
+    barely above random on small implicit matrices here)."""
 
-    def __init__(self, factors: int = 128, learning_rate: float = 1.0,
-                 regularization: float = 0.6, iterations: int = 30,
-                 neg_prop: int = 30, seed: int = 0, batch: int = 4096):
+    def __init__(self, factors: int = 128, learning_rate: float = 0.3,
+                 regularization: float = 0.05, iterations: int = 100,
+                 neg_prop: int = 5, seed: int = 0, batch: int = 4096):
         self.factors = factors
         self.lr = learning_rate
         self.reg = regularization

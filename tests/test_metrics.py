@@ -1,0 +1,128 @@
+"""Metric unit tests seeded from the reference's hand-built 8-node fixture
+(eval.py:660-683) plus brute-force cross-checks against naive loops."""
+
+import numpy as np
+
+from gcn_song_embeddings_tpu.evals import metrics as M
+
+
+# the reference's only "mock": 8-node knn matrix + positives (eval.py:660-683)
+KNN_MAT = np.array([
+    [0, 1, 5, 6, 7],
+    [1, 0, 6, 5, 7],
+    [2, 4, 3, 0, 1],
+    [3, 4, 2, 7, 6],
+    [4, 2, 3, 0, 1],
+    [5, 6, 0, 1, 7],
+    [6, 5, 7, 3, 1],
+    [7, 6, 5, 0, 1],
+])
+POSITIVES = np.array([
+    [0, 1],
+    [0, 5],
+    [3, 4],
+    [4, 2],
+    [5, 6],
+    [6, 7],
+])
+
+
+def _hit_rate_loop(knn_mat, pos, K):
+    hits = 0
+    for q, p in pos:
+        if p in knn_mat[q, :K]:
+            hits += 1
+    return hits / len(pos)
+
+
+def _mrr_loop(knn_mat, pos, K):
+    total = 0.0
+    for q, p in pos:
+        row = knn_mat[q, :K]
+        where = np.nonzero(row == p)[0]
+        rank = where[0] + 1 if len(where) else K
+        total += 1.0 / rank
+    return total / len(pos)
+
+
+def test_hit_rate_fixture():
+    for K in (1, 2, 3, 5):
+        assert M.hit_rate(KNN_MAT, POSITIVES, K) == \
+            _hit_rate_loop(KNN_MAT, POSITIVES, K)
+    # manual spot check at K=2: (0,1),(3,4),(4,2),(5,6) hit;
+    # (0,5) and (6,7) sit at rank 3 -> miss
+    assert M.hit_rate(KNN_MAT, POSITIVES, 2) == 4 / 6
+
+
+def test_mrr_fixture_and_miss_fallback():
+    for K in (1, 2, 3, 5):
+        np.testing.assert_allclose(M.mrr(KNN_MAT, POSITIVES, K),
+                                   _mrr_loop(KNN_MAT, POSITIVES, K))
+    # miss counts as rank K (eval.py:248-249): pair (0,5) has rank 3
+    # at K=5; at K=2 it must count as rank 2
+    assert M.mrr(np.array([[0, 1]]), np.array([[0, 7]]), 2) == 1 / 2
+
+
+def test_metrics_random_brute_force():
+    rng = np.random.default_rng(0)
+    n, K = 60, 20
+    knn = np.stack([rng.permutation(n)[:K] for _ in range(n)])
+    pos = rng.integers(0, n, (40, 2))
+    for k in (1, 5, 20):
+        assert M.hit_rate(knn, pos, k) == _hit_rate_loop(knn, pos, k)
+        np.testing.assert_allclose(M.mrr(knn, pos, k), _mrr_loop(knn, pos, k))
+
+
+def test_coverage_uses_columns_1_to_k_plus_1():
+    """Quirk parity (eval.py:346): coverage looks at columns 1:K+1."""
+    knn = np.array([[0, 1, 2], [1, 2, 3], [2, 3, 0]])
+    # K=1 -> column 1 only -> recs {1, 2, 3} -> 3/3
+    assert M.coverage(knn, K=1) == 1.0
+    # K=2 -> columns 1,2 -> {1,2,3,0} -> 4/3
+    np.testing.assert_allclose(M.coverage(knn, K=2), 4 / 3)
+
+
+def test_intra_diversity_bounds_and_identical_lists():
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(30, 8)).astype(np.float32)
+    knn = np.tile(np.arange(5), (30, 1))
+    d_same = M.intra_diversity(knn, None, 5, feats)
+    # identical feature list for all queries; diversity equals
+    # 1 - mean pairwise (incl diagonal) sim of those 5 rows
+    unit = feats[:5] / np.linalg.norm(feats[:5], axis=1, keepdims=True)
+    want = 1 - (unit @ unit.T).mean()
+    np.testing.assert_allclose(d_same, want, atol=1e-5)
+
+
+def test_inter_diversity_extremes():
+    n, K, N = 40, 5, 50
+    same = np.tile(np.arange(K), (n, 1))
+    assert abs(M.inter_diversity(same, None, K, N, n_pairs=200)) < 1e-9
+    # disjoint halves -> sampled pairs from different halves have distance 1
+    a = np.tile(np.arange(K), (n // 2, 1))
+    b = np.tile(np.arange(K, 2 * K), (n // 2, 1))
+    disjoint = np.concatenate([a, b], 0)
+    d = M.inter_diversity(disjoint, None, K, N, n_pairs=2000, seed=0)
+    assert 0.3 < d < 0.7  # ~half the sampled pairs cross halves
+
+
+def test_average_degree_and_degree_dist():
+    deg = np.array([1, 2, 3, 4, 5, 6, 7, 8])
+    got = M.average_degree(KNN_MAT, deg, K=2)
+    want = deg[KNN_MAT[:, :2].reshape(-1)].mean()
+    np.testing.assert_allclose(got, want)
+    levels, counts = M.degree_dist(KNN_MAT, deg, 2)
+    assert counts.sum() == KNN_MAT.shape[0] * 2
+
+
+def test_low_degree_and_low_co_accuracy():
+    deg = np.array([0, 5, 5, 1, 5, 0, 5, 5])
+    # queries with degree <= 1: nodes 0, 3, 5 -> pairs 0,1,2,4
+    got = M.low_degree_accuracy(KNN_MAT, deg, POSITIVES, 5, 1, M.hit_rate)
+    sel = POSITIVES[np.isin(POSITIVES[:, 0], [0, 3, 5])]
+    assert got == _hit_rate_loop(KNN_MAT, sel, 5)
+
+    # low-co: query 0 appears twice -> co=2; with thr=1 it is excluded
+    got = M.low_co_accuracy(KNN_MAT, POSITIVES, 5, 1, M.hit_rate)
+    sel = POSITIVES[POSITIVES[:, 0] != 0]
+    assert got == _hit_rate_loop(KNN_MAT, sel, 5)
