@@ -1,0 +1,245 @@
+"""Audio feature extraction (reference generate_node_features.py).
+
+Reference capabilities (SURVEY component #31): load/resample/pad 30s clips,
+batched incremental per-model feature generation with skip lists, and
+embedders OpenL3 (512-d), RandomFeatures(512), MFCC-40.
+
+TPU-native re-design: the DSP path (mel spectrogram -> log -> DCT -> MFCC)
+is jax on device — framing is a reshape, the mel projection and the DCT are
+matmuls, so a batch of clips is three MXU ops (the reference loops librosa
+per window on the host).  Audio IO is host-side: stdlib `wave` for .wav and
+raw `.npy` waveforms (librosa/torchaudio are not available in this image;
+mp3 decoding is gated).  Pretrained embedders (OpenL3/VGGish/MusicNN) need
+downloaded weights, so they are declared stubs here — their OUTPUTS are
+consumed via EmbLoader exactly like the reference does
+(eval.py MODELS "OpenL3": EmbLoader(...)).
+
+Clip normalization matches the reference: resample to 16 kHz mono, cut/pad
+to 480000 samples = 30 s (generate_node_features.py:26-77).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import wave
+from functools import partial
+
+import numpy as np
+
+SAMPLE_RATE = 16000
+CLIP_SAMPLES = 480000  # 30 s (generate_node_features.py:40-77)
+
+
+# ------------------------------------------------------------------ audio IO
+
+
+def load_clip(path: str, sr: int = SAMPLE_RATE,
+              n_samples: int = CLIP_SAMPLES) -> np.ndarray:
+    """Load audio -> mono float32 [n_samples] at `sr` (cut/pad like
+    generate_node_features.py:60-77).  Supports .wav (stdlib) and .npy
+    (raw waveform, assumed already at `sr`)."""
+    if path.endswith(".npy"):
+        y = np.load(path).astype(np.float32)
+        if y.ndim == 2:
+            y = y.mean(axis=1)
+    elif path.endswith(".wav"):
+        with wave.open(path, "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+            width = w.getsampwidth()
+            dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+            y = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+            if width == 1:
+                y = (y - 128.0) / 128.0
+            else:
+                y = y / float(np.iinfo(dtype).max)
+            if w.getnchannels() > 1:
+                y = y.reshape(-1, w.getnchannels()).mean(axis=1)
+        if rate != sr:
+            y = resample_linear(y, rate, sr)
+    else:
+        raise ValueError(
+            f"unsupported audio format: {path!r} (mp3 decoding needs "
+            f"librosa/torchaudio, unavailable in this environment; "
+            f"convert clips to .wav or raw .npy waveforms)")
+    if y.shape[0] >= n_samples:
+        return y[:n_samples]
+    return np.pad(y, (0, n_samples - y.shape[0]))
+
+
+def resample_linear(y: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resampler (host-side, dependency-free)."""
+    n_out = int(round(len(y) * sr_out / sr_in))
+    x_out = np.linspace(0.0, len(y) - 1, n_out)
+    return np.interp(x_out, np.arange(len(y)), y).astype(np.float32)
+
+
+# ------------------------------------------------------- device DSP (jax)
+
+
+def mel_filterbank(n_mels: int, n_fft: int, sr: int) -> np.ndarray:
+    """Slaney-style triangular mel filterbank [n_mels, n_fft//2 + 1]."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    fmin, fmax = 0.0, sr / 2
+    mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    freqs = mel_to_hz(mels)
+    bins = np.floor((n_fft + 1) * freqs / sr).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1), dtype=np.float32)
+    for m in range(1, n_mels + 1):
+        lo, ctr, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, ctr):
+            if ctr > lo:
+                fb[m - 1, k] = (k - lo) / (ctr - lo)
+        for k in range(ctr, hi):
+            if hi > ctr:
+                fb[m - 1, k] = (hi - k) / (hi - ctr)
+    return fb
+
+
+def dct_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix [n_out, n_in]."""
+    k = np.arange(n_out)[:, None]
+    n = np.arange(n_in)[None, :]
+    mat = np.cos(np.pi * k * (2 * n + 1) / (2 * n_in))
+    mat *= np.sqrt(2.0 / n_in)
+    mat[0] *= np.sqrt(0.5)
+    return mat.astype(np.float32)
+
+
+def _mfcc_batch_jax(clips, fb, dct, window, n_fft: int, hop: int,
+                    n_mfcc: int):
+    """[B, samples] -> [B, n_mfcc] mean-pooled MFCCs, all on device."""
+    import jax.numpy as jnp
+
+    b, n = clips.shape
+    n_frames = 1 + (n - n_fft) // hop
+    idx = (np.arange(n_frames)[:, None] * hop
+           + np.arange(n_fft)[None, :])
+    frames = clips[:, idx] * window[None, None, :]       # [B, F, n_fft]
+    spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2   # [B, F, n_fft/2+1]
+    mel = jnp.einsum("bfk,mk->bfm", spec, fb,
+                     preferred_element_type=jnp.float32)
+    logmel = jnp.log(mel + 1e-10)
+    mfcc = jnp.einsum("bfm,cm->bfc", logmel, dct,
+                      preferred_element_type=jnp.float32)
+    return mfcc.mean(axis=1)                             # [B, n_mfcc]
+
+
+class Embedder:
+    """Base feature embedder: `embed_batch(clips [B, samples]) -> [B, d]`."""
+
+    name = "base"
+    dim = 0
+
+    def embed_batch(self, clips: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class RandomFeatures(Embedder):
+    """Per-clip random features (reference RandomFeatures(512),
+    generate_node_features.py:275-282) — deterministic per call order."""
+
+    name = "random"
+
+    def __init__(self, dim: int = 512, seed: int = 0):
+        self.dim = dim
+        self.rng = np.random.default_rng(seed)
+
+    def embed_batch(self, clips: np.ndarray) -> np.ndarray:
+        return self.rng.normal(size=(clips.shape[0], self.dim)
+                               ).astype(np.float32)
+
+
+class MFCC(Embedder):
+    """Mean-pooled MFCCs (reference generate_features_mfcc,
+    generate_node_features.py:285-314: MFCC-40 over the 30 s clip)."""
+
+    name = "mfcc"
+
+    def __init__(self, n_mfcc: int = 40, n_fft: int = 2048, hop: int = 512,
+                 n_mels: int = 128, sr: int = SAMPLE_RATE):
+        self.dim = n_mfcc
+        self.n_mfcc = n_mfcc
+        self.n_fft = n_fft
+        self.hop = hop
+        self._fb = mel_filterbank(n_mels, n_fft, sr)
+        self._dct = dct_matrix(n_mfcc, n_mels)
+        self._window = np.hanning(n_fft).astype(np.float32)
+
+    def embed_batch(self, clips: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        out = _mfcc_batch_jax(jnp.asarray(clips, dtype=jnp.float32),
+                              jnp.asarray(self._fb),
+                              jnp.asarray(self._dct),
+                              jnp.asarray(self._window),
+                              self.n_fft, self.hop, self.n_mfcc)
+        return np.asarray(out)
+
+
+class OpenL3(Embedder):
+    """Stub: the reference uses torchopenl3 (mel128/music/512-d, 1 s windows
+    hop 2 s, mean-pooled — generate_node_features.py:209-229).  Pretrained
+    weights cannot be downloaded in this environment; precomputed OpenL3
+    vectors are consumed via EmbLoader instead."""
+
+    name = "openl3"
+    dim = 512
+
+    def embed_batch(self, clips):
+        raise RuntimeError(
+            "OpenL3 needs pretrained weights (torchopenl3), unavailable "
+            "offline. Precompute vectors elsewhere and load them with "
+            "EmbLoader / features_openl3 directory.")
+
+
+def generate_features(dataset_dir: str, embedder: Embedder,
+                      clip_dir: str | None = None, batch_size: int = 512,
+                      out_dir: str | None = None,
+                      verbose: bool = True) -> str:
+    """Batched incremental feature generation with per-track skip
+    (reference generate_features, generate_node_features.py:88-203):
+    writes `<dataset>/features_<name>/<track_id>.npy` per track and a
+    consolidated `features_<name>.npy` matrix.
+
+    Tracks without a decodable clip get zeros (the reference skips and
+    retries; with no network, zero-fill keeps shapes rectangular)."""
+    import json
+
+    with open(os.path.join(dataset_dir, "tracks.json"), encoding="utf-8") as f:
+        tracks = list(json.load(f))
+    clip_dir = clip_dir or os.path.join(dataset_dir, "clips")
+    out_dir = out_dir or os.path.join(dataset_dir,
+                                      f"features_{embedder.name}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    todo = [t for t in tracks
+            if not os.path.isfile(os.path.join(out_dir, t + ".npy"))]
+    for start in range(0, len(todo), batch_size):
+        batch_ids = todo[start:start + batch_size]
+        clips = np.zeros((len(batch_ids), CLIP_SAMPLES), dtype=np.float32)
+        for i, tid in enumerate(batch_ids):
+            for ext in (".wav", ".npy"):
+                p = os.path.join(clip_dir, tid + ext)
+                if os.path.isfile(p):
+                    clips[i] = load_clip(p)
+                    break
+        vecs = embedder.embed_batch(clips)
+        for i, tid in enumerate(batch_ids):
+            np.save(os.path.join(out_dir, tid + ".npy"), vecs[i])
+        if verbose:
+            print(f"features: {min(start + batch_size, len(todo))}"
+                  f"/{len(todo)} done", file=sys.stderr)
+
+    # consolidated matrix in tracks.json order
+    mat = np.stack([np.load(os.path.join(out_dir, t + ".npy"))
+                    for t in tracks])
+    np.save(os.path.join(dataset_dir, f"features_{embedder.name}.npy"), mat)
+    return out_dir

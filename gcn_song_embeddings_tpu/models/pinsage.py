@@ -112,19 +112,15 @@ def head_apply(params: PinSageParams, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(hidden, params.G2_w.T, preferred_element_type=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("n_layers", "T"))
-def pinsage_forward(params: PinSageParams, features: jnp.ndarray,
-                    nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
-                    nodeset: jnp.ndarray, n_layers: int, T: int
-                    ) -> jnp.ndarray:
-    """Embed `nodeset` rows: [B] -> [B, out_dim].
+def forward_with_gather(params: PinSageParams, gather_features,
+                        gather_nbhds, nodeset: jnp.ndarray, n_layers: int,
+                        T: int) -> jnp.ndarray:
+    """Forward pass parameterized over the table-gather primitive.
 
-    Args:
-      features: [N, in_dim] z-normalized node features.
-      nbhd_weights / nbhd_nodes: [N, >=T] precomputed PPR neighborhoods
-        (from ops.ppr.precompute_neighborhoods); the top-T slice is used,
-        like `relevant_nodes_per_layer_precomp` (pinsage_model.py:156-168).
-      nodeset: [B] int32 item ids.
+    `gather_features(ids) -> [m, in_dim]` and
+    `gather_nbhds(ids) -> (weights [m, T], nodes [m, T])` abstract whether
+    the node tables are local HBM arrays or row-sharded across a mesh with
+    collective gathers (parallel/gather.py).  The compute is identical.
     """
     nodeset = nodeset.astype(jnp.int32)
 
@@ -133,15 +129,14 @@ def pinsage_forward(params: PinSageParams, features: jnp.ndarray,
     nb_per_level: list[tuple[jnp.ndarray, jnp.ndarray]] = []
     for _ in range(n_layers):
         f = frontiers[-1]
-        nb_n = nbhd_nodes[f, :T].astype(jnp.int32)   # [m, T]
-        nb_w = nbhd_weights[f, :T].astype(jnp.float32)
+        nb_w, nb_n = gather_nbhds(f)
         nb_per_level.append((nb_w, nb_n))
         frontiers.append(jnp.concatenate([f, nb_n.reshape(-1)]))
 
     # Bottom-up conv stack.  Computing h over frontiers[l] consumes h over
     # frontiers[l+1] = concat([frontiers[l], neighbors(frontiers[l])]), so
     # the self block is h[:m] and the neighbor block is h[m:].
-    h = features[frontiers[n_layers]]
+    h = gather_features(frontiers[n_layers])
     for l in reversed(range(n_layers)):
         m = frontiers[l].shape[0]
         nb_w, _ = nb_per_level[l]
@@ -152,6 +147,31 @@ def pinsage_forward(params: PinSageParams, features: jnp.ndarray,
         h = conv_apply(params.layers[n_layers - 1 - l], h_self, h_nb, nb_w)
 
     return head_apply(params, h)
+
+
+@partial(jax.jit, static_argnames=("n_layers", "T"))
+def pinsage_forward(params: PinSageParams, features: jnp.ndarray,
+                    nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
+                    nodeset: jnp.ndarray, n_layers: int, T: int
+                    ) -> jnp.ndarray:
+    """Embed `nodeset` rows: [B] -> [B, out_dim] (single-device tables).
+
+    Args:
+      features: [N, in_dim] z-normalized node features.
+      nbhd_weights / nbhd_nodes: [N, >=T] precomputed PPR neighborhoods
+        (from ops.ppr.precompute_neighborhoods); the top-T slice is used,
+        like `relevant_nodes_per_layer_precomp` (pinsage_model.py:156-168).
+      nodeset: [B] int32 item ids.
+    """
+    def gather_features(ids):
+        return features[ids]
+
+    def gather_nbhds(ids):
+        return (nbhd_weights[ids, :T].astype(jnp.float32),
+                nbhd_nodes[ids, :T].astype(jnp.int32))
+
+    return forward_with_gather(params, gather_features, gather_nbhds,
+                               nodeset, n_layers, T)
 
 
 def embed_all(params: PinSageParams, features: jnp.ndarray,

@@ -1,0 +1,229 @@
+"""Multi-chip sharded training: dp x graph mesh under `shard_map`.
+
+Parallelization plan (SURVEY §2.2; the reference is single-process with no
+distributed layer at all):
+
+  * ``dp`` axis: the triple batch is split across devices.
+  * ``graph`` axis: node tables (features, PPR neighborhoods) are
+    row-sharded; conv-layer frontier lookups become collective gathers
+    (all_gather ids + psum_scatter rows — parallel/gather.py) riding ICI.
+  * Parameters (~0.6M for the reference config) and Adam state are
+    replicated; gradients are all-reduced (`psum`) over both axes.
+  * Batches are ALSO split across ``graph`` (each device computes
+    B/(dp*g) triples), so graph sharding adds compute parallelism, not
+    just memory capacity.
+
+The whole chunk of batches — device-side sampling, collective-gather
+forward, loss, psum(grad), Adam — is one `lax.scan` inside one
+`shard_map`-wrapped jit, so XLA can overlap the gather collectives of one
+conv layer with the local matmuls of the previous one.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gcn_song_embeddings_tpu.config import RunConfig
+from gcn_song_embeddings_tpu.models.pinsage import (
+    PinSageParams,
+    forward_with_gather,
+    init_pinsage,
+)
+from gcn_song_embeddings_tpu.parallel.gather import sharded_table_gather
+from gcn_song_embeddings_tpu.parallel.mesh import pad_to_multiple
+from gcn_song_embeddings_tpu.train.loss import max_margin_loss
+from gcn_song_embeddings_tpu.train.trainer import make_optimizer
+
+
+class ShardedTrainer:
+    """PinSage training over a (dp, graph) device mesh."""
+
+    def __init__(self, mesh: Mesh, cfg: RunConfig, n_items: int,
+                 features: np.ndarray, nbhds: tuple[np.ndarray, np.ndarray],
+                 positives: np.ndarray):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.n_items = n_items
+        g = mesh.shape["graph"]
+        d = mesh.shape["dp"]
+        self.n_shards = g
+        if cfg.train.batch_size % (g * d):
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} must divide over "
+                f"{d}x{g} devices")
+
+        # Row-shard node tables over the graph axis (pad rows to g).
+        n_pad = pad_to_multiple(n_items, g)
+        feat = np.zeros((n_pad, features.shape[1]), dtype=np.float32)
+        feat[:n_items] = features
+        nb_w = np.zeros((n_pad, nbhds[0].shape[1]), dtype=np.float32)
+        nb_w[:n_items] = nbhds[0]
+        nb_n = np.zeros((n_pad, nbhds[1].shape[1]), dtype=np.int32)
+        nb_n[:n_items] = nbhds[1]
+
+        shard_rows = NamedSharding(mesh, P("graph", None))
+        replicate = NamedSharding(mesh, P())
+        self.features = jax.device_put(feat, shard_rows)
+        self.nbhd_w = jax.device_put(nb_w, shard_rows)
+        self.nbhd_n = jax.device_put(nb_n, shard_rows)
+        self.positives = jax.device_put(
+            np.asarray(positives, dtype=np.int32), replicate)
+
+        key = jax.random.PRNGKey(cfg.train.seed)
+        params = init_pinsage(key, cfg.model.n_layers, features.shape[1],
+                              cfg.model.hidden_dim, cfg.model.out_dim,
+                              cfg.model.bias_init)
+        self.tx = make_optimizer(cfg)
+        self.params = jax.device_put(params, replicate)
+        self.opt_state = jax.device_put(self.tx.init(params), replicate)
+        self.epoch = 0
+        self._step_fn = self._build_step()
+        self._embed_fn = self._build_embed()
+
+    # ------------------------------------------------------------ builders
+
+    def _gathers(self):
+        T = self.cfg.model.T
+
+        def gather_features(ids, feats):
+            return sharded_table_gather(feats, ids, "graph")
+
+        def gather_nbhds(ids, nb_w, nb_n):
+            w = sharded_table_gather(nb_w, ids, "graph")[:, :T]
+            n = sharded_table_gather(nb_n, ids, "graph")[:, :T]
+            return w.astype(jnp.float32), n.astype(jnp.int32)
+
+        return gather_features, gather_nbhds
+
+    def _build_step(self):
+        cfg, mesh = self.cfg, self.mesh
+        tcfg, mcfg = cfg.train, cfg.model
+        n_items = self.n_items
+        n_dev = mesh.shape["dp"] * mesh.shape["graph"]
+        b_local = tcfg.batch_size // n_dev
+        tx = self.tx
+        gather_features, gather_nbhds = self._gathers()
+
+        def device_step(carry, key, feats, nb_w, nb_n, positives):
+            params, opt_state = carry
+            dev = (lax.axis_index("dp") * lax.axis_size("graph")
+                   + lax.axis_index("graph"))
+            key = jax.random.fold_in(key, dev)
+            kp, kn, kr = jax.random.split(key, 3)
+
+            # --- local triple sampling (see train/sampler.py semantics) ---
+            n_pos = positives.shape[0]
+            rows = jax.random.randint(kp, (b_local,), 0, n_pos)
+            pos_batch = positives[rows]
+            if tcfg.hard_negatives:
+                ranks = jax.random.randint(kr, (b_local,), tcfg.hn_min,
+                                           tcfg.hn_max)
+                nbrows = sharded_table_gather(nb_n, pos_batch[:, 0], "graph")
+                neg = jnp.take_along_axis(
+                    nbrows, ranks[:, None], axis=1)[:, 0].astype(jnp.int32)
+            else:
+                neg = jax.random.randint(kn, (b_local,), 0, n_items
+                                         ).astype(jnp.int32)
+            batch = jnp.concatenate([pos_batch, neg[:, None]], axis=1)
+
+            def loss_fn(p):
+                nodes = jnp.concatenate(
+                    [batch[:, 0], batch[:, 1], batch[:, 2]])
+                emb = forward_with_gather(
+                    p, lambda ids: gather_features(ids, feats),
+                    lambda ids: gather_nbhds(ids, nb_w, nb_n),
+                    nodes, mcfg.n_layers, mcfg.T)
+                h_q, h_pos, h_neg = jnp.split(emb, 3, axis=0)
+                # local mean scaled so the psum'd gradient equals the
+                # global-batch gradient
+                return max_margin_loss(h_q, h_pos, h_neg,
+                                       tcfg.margin) / n_dev
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss = lax.psum(loss, ("dp", "graph"))
+            grads = lax.psum(grads, ("dp", "graph"))
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), P(), P("graph", None), P("graph", None),
+                           P("graph", None), P(), P()),
+                 out_specs=(P(), P(), P()),
+                 check_vma=False)
+        def chunk_step(params, opt_state, feats, nb_w, nb_n, positives,
+                       chunk_keys):
+            def body(carry, key):
+                return device_step(carry, key, feats, nb_w, nb_n, positives)
+
+            (params, opt_state), losses = lax.scan(
+                body, (params, opt_state), chunk_keys)
+            return params, opt_state, losses
+
+        return jax.jit(chunk_step)
+
+    def _build_embed(self):
+        cfg, mesh = self.cfg, self.mesh
+        mcfg = cfg.model
+        gather_features, gather_nbhds = self._gathers()
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), P("graph", None), P("graph", None),
+                           P("graph", None), P(("dp", "graph"))),
+                 out_specs=P(("dp", "graph"), None),
+                 check_vma=False)
+        def embed_block(params, feats, nb_w, nb_n, ids):
+            return forward_with_gather(
+                params, lambda i: gather_features(i, feats),
+                lambda i: gather_nbhds(i, nb_w, nb_n),
+                ids, mcfg.n_layers, mcfg.T)
+
+        return jax.jit(embed_block)
+
+    # ----------------------------------------------------------------- api
+
+    def train_chunk(self, n_batches: int, chunk_index: int = 0) -> np.ndarray:
+        """Run `n_batches` sharded train steps; returns per-batch losses."""
+        base = jax.random.PRNGKey(self.cfg.train.seed + 1)
+        key = jax.random.fold_in(jax.random.fold_in(base, self.epoch),
+                                 chunk_index)
+        keys = jax.random.split(key, n_batches)
+        self.params, self.opt_state, losses = self._step_fn(
+            self.params, self.opt_state, self.features, self.nbhd_w,
+            self.nbhd_n, self.positives, keys)
+        return np.asarray(losses)
+
+    def train_epochs(self, epochs: Optional[int] = None,
+                     verbose: bool = False) -> None:
+        tcfg = self.cfg.train
+        epochs = epochs if epochs is not None else tcfg.epochs
+        import time
+
+        while self.epoch < epochs:
+            t0 = time.time()
+            losses = self.train_chunk(tcfg.batches_per_epoch)
+            self.epoch += 1
+            if verbose:
+                print(f"epoch {self.epoch}/{epochs}: "
+                      f"loss={losses[-1]:.6f} ({time.time() - t0:.2f}s)")
+
+    def embed(self, batch_size: int = 4096) -> np.ndarray:
+        """Sharded all-catalog embedding sweep -> [n_items, out_dim]."""
+        n_dev = self.mesh.shape["dp"] * self.mesh.shape["graph"]
+        bs = pad_to_multiple(batch_size, n_dev)
+        outs = []
+        for start in range(0, self.n_items, bs):
+            ids = (np.arange(start, start + bs, dtype=np.int32)
+                   % self.n_items)
+            out = self._embed_fn(self.params, self.features, self.nbhd_w,
+                                 self.nbhd_n, jnp.asarray(ids))
+            outs.append(np.asarray(out)[: min(bs, self.n_items - start)])
+        return np.concatenate(outs, axis=0)

@@ -1,0 +1,153 @@
+"""Feature-extraction and positives-generation tests."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from gcn_song_embeddings_tpu import features as F
+from gcn_song_embeddings_tpu.data.positives import (
+    build_catalog_map,
+    generate_lfm_positives,
+    generate_random_positives,
+    generate_walk_positives,
+    indices_to_id_pairs,
+    match_lfm_events_to_catalog,
+)
+
+
+def _write_wav(path, y, sr=16000):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((y * 32767).astype(np.int16).tobytes())
+
+
+def test_load_clip_wav_cut_pad(tmp_path):
+    sr = 16000
+    y = np.sin(np.linspace(0, 440 * 2 * np.pi, sr)).astype(np.float32)
+    p = tmp_path / "a.wav"
+    _write_wav(p, y, sr)
+    clip = F.load_clip(str(p))
+    assert clip.shape == (F.CLIP_SAMPLES,)
+    np.testing.assert_allclose(clip[:sr], y, atol=1e-3)  # int16 quantization
+    assert np.all(clip[sr:] == 0)  # zero-padded
+
+
+def test_load_clip_resample(tmp_path):
+    sr_in = 8000
+    y = np.sin(np.linspace(0, 100 * 2 * np.pi, sr_in)).astype(np.float32)
+    p = tmp_path / "b.wav"
+    _write_wav(p, y, sr_in)
+    clip = F.load_clip(str(p))
+    # 1 s of audio at 8 kHz -> 2 s worth? no: still 1 s, resampled to 16 kHz
+    assert np.abs(clip[:16000]).mean() > 0.1
+    assert np.all(clip[16000 + 10:] == 0)
+
+
+def test_mfcc_distinguishes_tones():
+    """MFCCs of different tones must differ; same tone must match."""
+    sr = F.SAMPLE_RATE
+    t = np.arange(F.CLIP_SAMPLES) / sr
+    a = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    b = np.sin(2 * np.pi * 1760 * t).astype(np.float32)
+    m = F.MFCC(n_mfcc=20)
+    out = m.embed_batch(np.stack([a, b, a]))
+    assert out.shape == (3, 20)
+    np.testing.assert_allclose(out[0], out[2], atol=1e-4)
+    assert np.abs(out[0] - out[1]).max() > 0.1
+
+
+def test_generate_features_pipeline(tmp_path):
+    """Incremental per-track generation + consolidated matrix
+    (reference generate_features skip-list semantics)."""
+    ds = tmp_path / "ds"
+    os.makedirs(ds / "clips")
+    tracks = {f"t{i}": {"name": f"s{i}", "artist": "a"} for i in range(5)}
+    with open(ds / "tracks.json", "w") as f:
+        json.dump(tracks, f)
+    sr = F.SAMPLE_RATE
+    for i in range(5):
+        y = np.sin(np.linspace(0, (i + 1) * 500, sr)).astype(np.float32)
+        _write_wav(ds / "clips" / f"t{i}.wav", y, sr)
+
+    out_dir = F.generate_features(str(ds), F.MFCC(n_mfcc=8), verbose=False)
+    mat = np.load(ds / "features_mfcc.npy")
+    assert mat.shape == (5, 8)
+
+    # skip-list: overwrite one per-track file, regenerate -> not recomputed
+    marker = np.full(8, 99.0, dtype=np.float32)
+    np.save(os.path.join(out_dir, "t3.npy"), marker)
+    F.generate_features(str(ds), F.MFCC(n_mfcc=8), verbose=False)
+    np.testing.assert_array_equal(
+        np.load(os.path.join(out_dir, "t3.npy")), marker)
+
+
+def test_random_features_deterministic_dim():
+    r = F.RandomFeatures(dim=32, seed=1)
+    out = r.embed_batch(np.zeros((4, 100)))
+    assert out.shape == (4, 32)
+
+
+def test_openl3_stub_raises():
+    with pytest.raises(RuntimeError, match="OpenL3"):
+        F.OpenL3().embed_batch(np.zeros((1, 10)))
+
+
+# ------------------------------------------------------------- positives
+
+
+def test_walk_positives(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 50
+    nodes = rng.integers(0, n, (n, 10)).astype(np.int32)
+    weights = np.sort(rng.random((n, 10)).astype(np.float32), 1)[:, ::-1]
+    out = tmp_path / "pos.json"
+    pairs = generate_walk_positives((weights, nodes), n, m=200, max_rank=3,
+                                    out_path=str(out))
+    assert 0 < len(pairs) <= 200
+    for p in pairs:
+        a, b = p["a"], p["b"]
+        assert b in nodes[a, :3].tolist()  # rank < 3 (reference T=3)
+    assert json.load(open(out)) == pairs
+
+    ids = [f"tr{i}" for i in range(n)]
+    sp = indices_to_id_pairs(pairs, ids)
+    assert sp[0]["a"] == f"tr{pairs[0]['a']}"
+
+
+def test_random_positives():
+    pairs = generate_random_positives(100, 500, seed=1)
+    assert all(p["a"] != p["b"] for p in pairs)
+
+
+def test_lfm_positives_adjacency_and_dt():
+    # user 1 listens a,b close together; b,c too far apart; user 2: d,e
+    events = [
+        (1, "a", 0.0), (1, "b", 100.0), (1, "c", 10000.0),
+        (2, "d", 50.0), (2, "e", 60.0), (2, "e", 70.0),  # self-pair dropped
+    ]
+    pairs = generate_lfm_positives(events, max_delta_t=3600)
+    got = {(p["a"], p["b"]) for p in pairs}
+    assert got == {("a", "b"), ("d", "e")}
+
+
+def test_lfm_catalog_matching():
+    tracks = {
+        "id1": {"name": "Song One", "artist": "The Band"},
+        "id2": {"name": "Other", "artist": "Someone"},
+    }
+    cat = build_catalog_map(tracks)
+    assert cat[("song one", "the band")] == "id1"
+    raw = [
+        (7, "The Band", "alb", "song ONE", 12.0),
+        (7, "Nobody", "alb", "unknown", 13.0),
+        (7, "Someone", "alb", "Other", 14.0),
+    ]
+    matched = match_lfm_events_to_catalog(raw, tracks)
+    assert [(u, t) for u, t, _ in matched] == [(7, "id1"), (7, "id2")]
+    pairs = generate_lfm_positives(matched)
+    assert pairs == [{"a": "id1", "b": "id2"}]
