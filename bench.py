@@ -34,9 +34,9 @@ N_LAYERS = 2
 T = 3
 HIDDEN = 512
 OUT = 128
-WARMUP_STEPS = 2
-MEASURE_CHUNKS = 5
-CHUNK = 50
+CHUNK_SMALL = 100
+CHUNK_LARGE = 500
+REPS = 3
 
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -92,24 +92,35 @@ def measure_tpu(features, nb_w, nb_n, positives) -> float:
     pj = jnp.asarray(positives)
 
     key = jax.random.PRNGKey(1)
-    # warmup / compile.  NOTE: block_until_ready does not reliably block on
-    # the experimental axon platform — force a device-to-host transfer.
-    t0 = time.time()
-    params, opt_state, m = trn._train_chunk(
-        params, opt_state, fj, wj, nj, pj, key, cfg, N_TRACKS,
-        WARMUP_STEPS, tx)
-    np.asarray(m)
-    log(f"compile+warmup: {time.time() - t0:.1f}s")
 
-    times = []
-    for i in range(MEASURE_CHUNKS):
-        k = jax.random.fold_in(key, i + 1)
+    # NOTE: block_until_ready does not reliably block on the experimental
+    # axon platform — force a device-to-host transfer to synchronize.
+    # Each dispatch carries O(1 s) tunnel latency, so per-batch time is
+    # measured as the DIFFERENCE between a large and a small chunk call
+    # (both pre-compiled), which cancels the fixed round-trip cost.
+    def run_chunk(n_chunk, i):
+        nonlocal params, opt_state
+        k = jax.random.fold_in(key, i)
         t0 = time.time()
         params, opt_state, m = trn._train_chunk(
-            params, opt_state, fj, wj, nj, pj, k, cfg, N_TRACKS, CHUNK, tx)
+            params, opt_state, fj, wj, nj, pj, k, cfg, N_TRACKS,
+            n_chunk, tx)
         np.asarray(m)
-        times.append((time.time() - t0) / CHUNK)
-    per_batch = float(np.median(times))
+        return time.time() - t0
+
+    t0 = time.time()
+    run_chunk(CHUNK_SMALL, 0)
+    run_chunk(CHUNK_LARGE, 1)
+    log(f"compile+warmup: {time.time() - t0:.1f}s")
+
+    diffs = []
+    for i in range(REPS):
+        t_small = run_chunk(CHUNK_SMALL, 2 + 2 * i)
+        t_large = run_chunk(CHUNK_LARGE, 3 + 2 * i)
+        log(f"  rep {i}: small({CHUNK_SMALL})={t_small:.3f}s "
+            f"large({CHUNK_LARGE})={t_large:.3f}s")
+        diffs.append((t_large - t_small) / (CHUNK_LARGE - CHUNK_SMALL))
+    per_batch = float(np.median(diffs))
     log(f"tpu per-batch: {per_batch * 1e3:.3f} ms "
         f"(epoch of 500 batches ~ {per_batch * 500:.2f}s)")
     return per_batch

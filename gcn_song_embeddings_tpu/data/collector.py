@@ -1,0 +1,174 @@
+"""Dataset collection: the reference's Spotify-scraper capability as an
+offline-safe, source-pluggable collector.
+
+Reference dataset_creation/get_data.py (`DatasetCollector`): random-query
+playlist/album search against the Spotify API (1 album per 3 playlists,
+<=50 tracks each, preview-url filter), bidirectional edge materialization,
+incremental JSON persistence with backup/restore, clip & album-image
+download with retry, genre/album backfill.  The Spotify preview-clip API the
+reference relied on is retired (SURVEY #34: "treat as data format spec") and
+this environment has no network, so the collector here:
+
+  * implements the same incremental on-disk protocol — tracks.json /
+    collections.json / graph.json with both edge directions, backup files,
+    resume-on-restart — against an abstract `CatalogSource`;
+  * ships an offline `SyntheticSource` so the full collection path is
+    exercisable end-to-end;
+  * documents the exact JSON schema (SURVEY §7) for anyone plugging in a
+    real API client.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import string
+from abc import ABC, abstractmethod
+from typing import Optional
+
+
+class CatalogSource(ABC):
+    """Abstract music-catalog API (the role spotipy plays in the
+    reference)."""
+
+    @abstractmethod
+    def search_collections(self, query: str, limit: int,
+                           col_type: str) -> list[dict]:
+        """Return collection dicts: {id, type, name, num_tracks,
+        description|artist, tracks: [track dicts]}.  Track dicts carry the
+        SURVEY §7 fields (id, name, artist, album_id, preview_url, ...)."""
+
+
+class SyntheticSource(CatalogSource):
+    """Deterministic fake catalog for offline runs and tests."""
+
+    def __init__(self, seed: int = 0, n_universe: int = 5000):
+        self.rng = random.Random(seed)
+        self.n_universe = n_universe
+
+    def _track(self, i: int) -> dict:
+        return {
+            "id": f"syn{i:06d}",
+            "name": f"Synthetic Song {i}",
+            "artist": f"Artist {i % 97}",
+            "artist_id": f"ar{i % 97:04d}",
+            "album": f"Album {i // 10}",
+            "album_id": f"al{i // 10:05d}",
+            "popularity": self.rng.randint(0, 100),
+            "preview_url": f"https://example.invalid/clip/{i}.mp3",
+            "image_url": "",
+        }
+
+    def search_collections(self, query, limit, col_type):
+        out = []
+        for _ in range(limit):
+            cid = f"col{self.rng.randrange(10**9):09d}"
+            n = self.rng.randint(5, 50)
+            tracks = [self._track(self.rng.randrange(self.n_universe))
+                      for _ in range(n)]
+            out.append({
+                "id": cid,
+                "type": col_type,
+                "name": f"{col_type} {query} {cid[-4:]}",
+                "num_tracks": n,
+                "description": "",
+                "tracks": tracks,
+            })
+        return out
+
+
+def random_query(rng: random.Random) -> str:
+    """Random 1-2 letter search query (reference random_query,
+    get_data.py:437-442 uses random letters to sample the catalog)."""
+    k = rng.choice([1, 2])
+    return "".join(rng.choice(string.ascii_lowercase) for _ in range(k))
+
+
+class DatasetCollector:
+    """Incremental dataset builder with the reference's persistence
+    protocol (get_data.py:78-123: load-if-present, backup before save,
+    atomic-ish rewrite; :211-214: bidirectional edges)."""
+
+    def __init__(self, save_dir: str, source: Optional[CatalogSource] = None,
+                 directed: bool = False, require_preview_url: bool = True,
+                 seed: int = 0):
+        self.save_dir = save_dir
+        self.source = source or SyntheticSource(seed=seed)
+        self.directed = directed
+        self.require_preview_url = require_preview_url
+        self.rng = random.Random(seed)
+        os.makedirs(save_dir, exist_ok=True)
+        self.track_dict: dict = self._load("tracks.json")
+        self.col_dict: dict = self._load("collections.json")
+        graph = self._load("graph.json")
+        self.edges: list[dict] = graph.get("edges", []) if graph else []
+
+    # ------------------------------------------------------------ persist
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.save_dir, name)
+
+    def _load(self, name: str):
+        p = self._path(name)
+        if os.path.isfile(p):
+            with open(p, encoding="utf-8") as f:
+                return json.load(f)
+        return {}
+
+    def _save(self) -> None:
+        """Backup then write (reference get_data.py:92-121)."""
+        for name, obj in (
+                ("tracks.json", self.track_dict),
+                ("collections.json", self.col_dict),
+                ("graph.json", {"tracks": list(self.track_dict),
+                                "collections": list(self.col_dict),
+                                "edges": self.edges})):
+            p = self._path(name)
+            if os.path.isfile(p):
+                shutil.copy(p, p + ".bak")
+            with open(p, "w", encoding="utf-8") as f:
+                json.dump(obj, f)
+
+    # ------------------------------------------------------------ collect
+
+    def collect(self, n_batches: int = 10, playlists_per_batch: int = 3,
+                albums_per_batch: int = 1, max_tracks: int = 50) -> dict:
+        """Random-query collection sweep (reference get_data.py:437-455:
+        1 album per 3 playlists, <=50 tracks each, broad-except per
+        iteration so one failure never kills the run)."""
+        added = {"collections": 0, "tracks": 0}
+        for _ in range(n_batches):
+            try:
+                q = random_query(self.rng)
+                cols = (self.source.search_collections(
+                            q, playlists_per_batch, "playlist")
+                        + self.source.search_collections(
+                            q, albums_per_batch, "album"))
+                for col in cols:
+                    if col["id"] in self.col_dict:
+                        continue
+                    tracks = col.pop("tracks")[:max_tracks]
+                    if self.require_preview_url:
+                        tracks = [t for t in tracks if t.get("preview_url")]
+                    if not tracks:
+                        continue
+                    col["ztracks"] = [t["id"] for t in tracks]
+                    col["num_tracks"] = len(tracks)
+                    self.col_dict[col["id"]] = col
+                    added["collections"] += 1
+                    for t in tracks:
+                        if t["id"] not in self.track_dict:
+                            self.track_dict[t["id"]] = {
+                                k: v for k, v in t.items() if k != "id"}
+                            added["tracks"] += 1
+                        self.edges.append({"from": t["id"],
+                                           "to": col["id"]})
+                        if not self.directed:
+                            self.edges.append({"from": col["id"],
+                                               "to": t["id"]})
+                self._save()
+            except Exception as e:  # broad like the reference scraper loop
+                print(f"collection batch failed: {e!r}")
+        return added

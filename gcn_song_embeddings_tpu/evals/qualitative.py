@@ -1,0 +1,167 @@
+"""Qualitative exploration + recommendation-list export.
+
+Reference eval.py:473-627: print kNN lists with song metadata, interactively
+crawl the embedding space, export per-query recommendation lists as JSON +
+album-cover images + a LaTeX comparison figure from examples_template.tex.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Optional
+
+import numpy as np
+
+
+def examine_knn_weights(knn_dict, ranks=(0, 1, 2, 3, 10, 50, 100, 500)
+                        ) -> None:
+    """Print kNN weights at selected ranks (eval.py:473-479)."""
+    for name in knn_dict:
+        knn_w, _ = knn_dict[name]
+        cols = [r for r in ranks if r < knn_w.shape[1]]
+        print(f"{name}:\n{knn_w[0:10][:, cols]}")
+
+
+def format_knn(graph, in_degrees: np.ndarray, knn_w: np.ndarray,
+               knn_n: np.ndarray) -> str:
+    """Readable kNN list with name/artist/degree
+    (reference print_knn, eval.py:492-505)."""
+    lines = ["Nearest neighbors:"]
+    for i in range(knn_n.shape[0]):
+        node = int(knn_n[i])
+        track = graph.tracks[graph.track_ids[node]]
+        deg = int(in_degrees[node]) * 2  # in+out, both directions present
+        lines.append(f"{i}. [{float(knn_w[i]):.3f}] {track['name']} - "
+                     f"{track['artist']} ({deg})")
+    return "\n".join(lines)
+
+
+def format_query(q: int, graph) -> str:
+    info = graph.tracks[graph.track_ids[int(q)]]
+    return f"{info['name']}\n{info['artist']}"
+
+
+def crawl_embedding(knn_dict, graph, model_names=None, K: int = 10,
+                    seed: int = 0, input_fn=input, print_fn=print) -> None:
+    """Interactive crawl: show each model's top-K for random queries;
+    'e' exports the current lists, 'q' quits (reference crawl_embedding,
+    eval.py:512-535)."""
+    model_names = list(model_names or knn_dict)
+    rng = np.random.default_rng(seed)
+    deg = graph.in_degrees()
+    q = int(rng.integers(0, graph.n_items))
+    while True:
+        print_fn(format_query(q, graph))
+        for i, name in enumerate(model_names):
+            knn_w, knn_n = knn_dict[name]
+            print_fn(f"[{i}]{name}:")
+            print_fn(format_knn(graph, deg, knn_w[q, :K], knn_n[q, :K]))
+        choice = input_fn("Select song index, e to export, q to quit, "
+                          "r for random: ")
+        if choice == "q":
+            return
+        if choice == "e":
+            for name in model_names:
+                _, knn_n = knn_dict[name]
+                export_recommendation_list(graph, q, knn_n, name)
+            export_recommendation_figure(graph, q, knn_dict, model_names)
+        q = int(rng.integers(0, graph.n_items))
+
+
+def export_recommendation_list(graph, q: int, knn_n: np.ndarray,
+                               model_name: str, k: int = 5,
+                               out_root: str = "examples") -> str:
+    """Export query + top-k as examples/<song>/<model>/list.json with
+    album covers (reference export_recommendation_list, eval.py:551-572)."""
+    q = int(q)
+    rec_list = [q] + [int(x) for x in knn_n[q, :k]]
+    q_name = _safe_name(graph.tracks[graph.track_ids[q]]["name"])
+    dir_name = os.path.join(out_root, q_name, model_name)
+    os.makedirs(dir_name, exist_ok=True)
+    info_list = []
+    for rank, tr in enumerate(rec_list):
+        info = graph.tracks[graph.track_ids[tr]]
+        info_list.append({"title": info["name"],
+                          "artist": info.get("artist", ""),
+                          "album": info.get("album", "")})
+        _copy_track_image(graph.base_dir, dir_name, info, rank)
+    with open(os.path.join(dir_name, "list.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(info_list, f, indent=2)
+    return dir_name
+
+
+def export_recommendation_figure(graph, q: int, knn_dict, model_names,
+                                 k: int = 4, out_root: str = "examples",
+                                 template_path: Optional[str] = None) -> str:
+    """Fill a LaTeX comparison-figure template with per-model rec lists
+    (reference export_recommendation_figure, eval.py:588-627).
+    Placeholders: <method_M>, <cover_M_I>, <title_M_I>, <artist_M_I>,
+    <album_M_I>."""
+    template = (open(template_path, encoding="utf-8").read()
+                if template_path else _default_template(len(model_names),
+                                                        k + 1))
+    q = int(q)
+    q_name = _safe_name(graph.tracks[graph.track_ids[q]]["name"])
+    dir_name = os.path.join(out_root, q_name)
+    os.makedirs(os.path.join(dir_name, "covers"), exist_ok=True)
+
+    for m, name in enumerate(model_names):
+        _, knn_n = knn_dict[name]
+        rec_list = [q] + [int(x) for x in knn_n[q, :k]]
+        template = template.replace(f"<method_{m}>", name)
+        for i, tr in enumerate(rec_list):
+            info = graph.tracks[graph.track_ids[tr]]
+            cover = os.path.join(dir_name, "covers",
+                                 _safe_name(info["name"]) + ".jpg")
+            _copy_track_image(graph.base_dir,
+                              os.path.join(dir_name, "covers"), info, i)
+            template = template.replace(f"<cover_{m}_{i}>", cover)
+            template = template.replace(f"<title_{m}_{i}>", info["name"])
+            template = template.replace(f"<artist_{m}_{i}>",
+                                        info.get("artist", ""))
+            template = template.replace(f"<album_{m}_{i}>",
+                                        info.get("album", ""))
+    fig_path = os.path.join(dir_name, "figure.tex")
+    with open(fig_path, "w", encoding="utf-8") as f:
+        f.write(template)
+    return fig_path
+
+
+def _safe_name(name: str) -> str:
+    return re.sub(r"[/\\]", "", name)
+
+
+def _copy_track_image(dataset_dir: str, save_dir: str, track_info: dict,
+                      rank: int) -> None:
+    """Copy the album cover if present (reference export_track_image,
+    eval.py:576-585; images are optional here)."""
+    album_id = track_info.get("album_id")
+    if not album_id:
+        return
+    src = os.path.join(dataset_dir, "images", album_id + ".jpg")
+    if not os.path.isfile(src):
+        return
+    os.makedirs(save_dir, exist_ok=True)
+    dst = os.path.join(save_dir, _safe_name(track_info["name"]) + ".jpg")
+    shutil.copy(src, dst)
+
+
+def _default_template(n_models: int, n_items: int) -> str:
+    """Minimal LaTeX grid template with the reference's placeholder
+    scheme (examples_template.tex equivalent)."""
+    rows = []
+    for m in range(n_models):
+        cells = [f"<method_{m}>"]
+        for i in range(n_items):
+            cells.append(
+                f"\\begin{{tabular}}{{c}}<title_{m}_{i}>\\\\"
+                f"\\scriptsize <artist_{m}_{i}>\\\\"
+                f"\\tiny <album_{m}_{i}>\\end{{tabular}}")
+        rows.append(" & ".join(cells) + r" \\")
+    cols = "l" + "c" * n_items
+    return ("\\begin{figure}\n\\begin{tabular}{" + cols + "}\n"
+            + "\n".join(rows) + "\n\\end{tabular}\n\\end{figure}\n")

@@ -15,3 +15,14 @@ from gcn_song_embeddings_tpu.models.baselines.mf import (  # noqa: F401
 from gcn_song_embeddings_tpu.models.baselines.pinsage_wrapper import (  # noqa: F401
     PinSageWrapper,
 )
+from gcn_song_embeddings_tpu.models.baselines.similarity import (  # noqa: F401
+    JaccardIndex,
+    AdamicAdar,
+    Preferential,
+)
+from gcn_song_embeddings_tpu.models.baselines.node2vec import (  # noqa: F401
+    FastNode2Vec,
+)
+from gcn_song_embeddings_tpu.models.baselines.graphsage import (  # noqa: F401
+    GraphSAGE,
+)

@@ -1,0 +1,115 @@
+"""Tests for explorer tools, qualitative export, and the collector."""
+
+import json
+import os
+
+import numpy as np
+
+from gcn_song_embeddings_tpu.data import SongGraph
+from gcn_song_embeddings_tpu.data.collector import (
+    DatasetCollector,
+    SyntheticSource,
+)
+from gcn_song_embeddings_tpu.data.explore import (
+    crawl_walk_counts,
+    giant_component,
+    make_mini_dataset,
+    save_dataset_distributions,
+)
+from gcn_song_embeddings_tpu.evals.qualitative import (
+    crawl_embedding,
+    export_recommendation_figure,
+    export_recommendation_list,
+    format_knn,
+)
+
+
+def test_giant_component_covers_connected_synth(graph):
+    comp = giant_component(graph)
+    # synthetic generator guarantees every track has an edge; the giant
+    # component should contain nearly all nodes
+    assert len(comp) > 0.9 * graph.n_nodes
+
+
+def test_make_mini_dataset_roundtrip(graph, tmp_path):
+    out = make_mini_dataset(graph, str(tmp_path / "mini"), min_degree=2,
+                            max_degree=10**6, features=graph.features)
+    mini = SongGraph(out, features_file=os.path.join(out, "features.npy"))
+    assert 0 < mini.n_items <= graph.n_items
+    assert mini.features.shape[0] == mini.n_items
+    # all kept tracks satisfy the degree cut in the original graph
+    orig_deg = {tid: d for tid, d in
+                zip(graph.track_ids, graph.i2c.degrees())}
+    assert all(orig_deg[t] >= 2 for t in mini.track_ids)
+
+
+def test_save_dataset_distributions(graph, positives, tmp_path):
+    paths = save_dataset_distributions(graph, positives, str(tmp_path))
+    assert len(paths) == 5
+    for p in paths:
+        assert os.path.isfile(p)
+
+
+def test_crawl_walk_counts(graph):
+    out = crawl_walk_counts(graph, start=3, num_steps=2000, top=5)
+    assert 0 < len(out) <= 5
+    assert all(s > 0 for _, s in out)
+    assert all(n != 3 for n, _ in out)
+
+
+def test_export_recommendation_list_and_figure(graph, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    knn_n = np.stack([rng.permutation(graph.n_items)[:10]
+                      for _ in range(graph.n_items)])
+    d = export_recommendation_list(graph, 5, knn_n, "TestModel", k=4)
+    with open(os.path.join(d, "list.json")) as f:
+        lst = json.load(f)
+    assert len(lst) == 5  # query + 4
+    assert lst[0]["title"] == graph.tracks[graph.track_ids[5]]["name"]
+
+    knn_dict = {"M1": (np.ones_like(knn_n, dtype=float), knn_n),
+                "M2": (np.ones_like(knn_n, dtype=float), knn_n)}
+    fig = export_recommendation_figure(graph, 5, knn_dict, ["M1", "M2"])
+    text = open(fig).read()
+    assert "M1" in text and "M2" in text
+    assert "<title_" not in text  # all placeholders substituted
+
+
+def test_crawl_embedding_scripted(graph, capsys):
+    rng = np.random.default_rng(0)
+    knn = np.stack([rng.permutation(graph.n_items)[:10]
+                    for _ in range(graph.n_items)])
+    knn_dict = {"M": (np.ones_like(knn, dtype=float), knn)}
+    inputs = iter(["r", "q"])
+    crawl_embedding(knn_dict, graph, input_fn=lambda _: next(inputs))
+    out = capsys.readouterr().out
+    assert "Nearest neighbors:" in out
+
+
+def test_format_knn(graph):
+    deg = graph.in_degrees()
+    s = format_knn(graph, deg, np.array([0.9, 0.5]), np.array([1, 2]))
+    assert graph.tracks[graph.track_ids[1]]["name"] in s
+
+
+def test_collector_incremental_resume(tmp_path):
+    d = str(tmp_path / "collected")
+    c1 = DatasetCollector(d, SyntheticSource(seed=1), seed=1)
+    added = c1.collect(n_batches=5)
+    assert added["collections"] > 0 and added["tracks"] > 0
+    n_tracks_1 = len(c1.track_dict)
+
+    # resume: a new collector picks up existing state and extends it
+    c2 = DatasetCollector(d, SyntheticSource(seed=2), seed=2)
+    assert len(c2.track_dict) == n_tracks_1
+    c2.collect(n_batches=5)
+    assert len(c2.track_dict) >= n_tracks_1
+    # backups written
+    assert os.path.isfile(os.path.join(d, "tracks.json.bak"))
+
+    # the collected dataset must load as a SongGraph (format compatibility)
+    g = SongGraph(d)
+    assert g.n_items == len(c2.track_dict)
+    # both edge directions materialized
+    assert g.i2c.nnz == g.c2i.nnz
