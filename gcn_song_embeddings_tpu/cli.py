@@ -145,6 +145,8 @@ def cmd_eval(args) -> None:
     from gcn_song_embeddings_tpu.models.baselines import (
         ColTrackCF,
         EmbLoader,
+        FastNode2Vec,
+        GraphSAGE,
         JaccardFast,
         PersPageRank,
         Random,
@@ -158,10 +160,12 @@ def cmd_eval(args) -> None:
         "Random": Random(),
         "PageRank": PersPageRank(),
         "JaccardFast": JaccardFast(),
+        "Node2Vec": FastNode2Vec(),
         "TrackTrackCfALS": TrackTrackCF(algo="als"),
         "TrackTrackCfBPR": TrackTrackCF(algo="bpr"),
         "ColTrackCfALS": ColTrackCF(algo="als"),
         "ColTrackCfLMF": ColTrackCF(algo="lmf"),
+        "GraphSAGE": GraphSAGE(),
     }
     if graph.features is not None:
         models["Features"] = EmbLoader(
