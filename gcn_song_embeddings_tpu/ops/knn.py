@@ -14,6 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -33,12 +34,58 @@ def cosine_topk_block(emb: jnp.ndarray, queries: jnp.ndarray, k: int
     return w[:, 1:], n[:, 1:]
 
 
-def knn_from_emb(emb, queries=None, k: int = 1000, batch_size: int = 512
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def cosine_topk_streamed(emb: jnp.ndarray, queries: jnp.ndarray, k: int,
+                         chunk: int = 8192
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-(k+1) cosine neighbors with the table streamed in chunks.
+
+    For catalog sizes where the [B, N] similarity block would blow HBM
+    (dataset_large scale: N ~ 10^6, B*N f32 = GBs), the table is consumed
+    in [chunk, d] tiles under `lax.scan`, keeping a running [B, k+1] top-k
+    that is merged with each tile's local top-k (concat + lax.top_k).
+    Peak memory is O(B * (chunk + 2k)) regardless of N.
+    """
+    n, d = emb.shape
+    kk = k + 1
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    q = emb[queries]
+    q_len = jnp.linalg.norm(q, axis=1, keepdims=True)
+    e_len = jnp.linalg.norm(emb, axis=1)
+    emb_pad = jnp.pad(emb, ((0, n_pad - n), (0, 0)))
+    e_len_pad = jnp.pad(e_len, (0, n_pad - n))
+
+    def tile(carry, start):
+        best_w, best_n = carry
+        rows = lax.dynamic_slice_in_dim(emb_pad, start, chunk, axis=0)
+        lens = lax.dynamic_slice_in_dim(e_len_pad, start, chunk, axis=0)
+        sim = jnp.dot(q, rows.T, preferred_element_type=jnp.float32)
+        sim = sim / (q_len * lens[None, :] + 1e-16)
+        valid = (start + jnp.arange(chunk)) < n
+        sim = jnp.where(valid[None, :], sim, -jnp.inf)
+        w, idx = lax.top_k(sim, min(kk, chunk))
+        cand_w = jnp.concatenate([best_w, w], axis=1)
+        cand_n = jnp.concatenate([best_n, idx + start], axis=1)
+        new_w, pos = lax.top_k(cand_w, kk)
+        new_n = jnp.take_along_axis(cand_n, pos, axis=1)
+        return (new_w, new_n), None
+
+    init = (jnp.full((q.shape[0], kk), -jnp.inf),
+            jnp.zeros((q.shape[0], kk), dtype=jnp.int32))
+    starts = jnp.arange(0, n_pad, chunk)
+    (w, nn), _ = lax.scan(tile, init, starts)
+    return w[:, 1:], nn[:, 1:]
+
+
+def knn_from_emb(emb, queries=None, k: int = 1000, batch_size: int = 512,
+                 streamed: bool | None = None
                  ) -> tuple[np.ndarray, np.ndarray]:
     """Full kNN sweep over `queries` (default: all rows) in device tiles.
 
-    Returns numpy (weights [Nq, k], nodes [Nq, k]) like the reference's
-    (knn_w, knn_n) tuples.
+    `streamed=None` auto-selects: for catalogs past ~10^5 rows the
+    streamed kernel (chunked table scan, O(B*(chunk+k)) memory) replaces
+    the dense [B, N] block.  Returns numpy (weights [Nq, k],
+    nodes [Nq, k]) like the reference's (knn_w, knn_n) tuples.
     """
     emb = jnp.asarray(emb, dtype=jnp.float32)
     n = emb.shape[0]
@@ -47,6 +94,8 @@ def knn_from_emb(emb, queries=None, k: int = 1000, batch_size: int = 512
     queries = np.asarray(queries, dtype=np.int32)
     nq = queries.shape[0]
     k = min(k, n - 1)
+    if streamed is None:
+        streamed = n > 100_000
 
     w_out = np.empty((nq, k), dtype=np.float32)
     n_out = np.empty((nq, k), dtype=np.int32)
@@ -54,7 +103,10 @@ def knn_from_emb(emb, queries=None, k: int = 1000, batch_size: int = 512
         stop = min(start + batch_size, nq)
         block = np.full((batch_size,), queries[stop - 1], dtype=np.int32)
         block[: stop - start] = queries[start:stop]
-        w, nn = cosine_topk_block(emb, jnp.asarray(block), k)
+        if streamed:
+            w, nn = cosine_topk_streamed(emb, jnp.asarray(block), k)
+        else:
+            w, nn = cosine_topk_block(emb, jnp.asarray(block), k)
         w_out[start:stop] = np.asarray(w)[: stop - start]
         n_out[start:stop] = np.asarray(nn)[: stop - start]
     return w_out, n_out

@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: fused neighbor gather + Q-MLP + importance-weighted mean.
+
+This is the PinSage aggregation hot op (SURVEY component #7): for every node
+in a tile, pull its T neighbors' feature rows straight from the HBM-resident
+feature table via async DMA into VMEM, push them through the Q projection on
+the MXU, and reduce with the importance weights — one kernel, no
+materialized [B*T, Din] gather in HBM.
+
+    agg[b] = sum_t w[b,t] * leaky_relu(h[nb[b,t]] @ Wq + bq) / sum_t w[b,t]
+
+The XLA path (models/pinsage.py conv_apply) lowers the same math as
+gather -> matmul -> reduce; this kernel is the fused alternative, with the
+row fetches expressed as N_STREAMS parallel scalar-prefetch block streams
+that the Mosaic pipeliner double-buffers against the tile matmul.  Both
+paths are numerically identical (tests/test_pallas_agg.py, verified on
+hardware to 5e-7).
+
+Measured on TPU v5e (B=4096, T=3, Din=H=512, N=100k, on-device scan of 50
+ops): XLA path 0.58 ms/op (11.1 TFLOP/s f32), this kernel 0.95 ms/op
+(6.8 TFLOP/s) — XLA's hardware gather engine beats per-row pipeline blocks
+for scattered single-row access, so `conv_aggregate` defaults to the XLA
+path; the kernel is kept as the fused-path reference (and the building
+block for variants where fusion wins, e.g. larger per-node fanouts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_B = 128  # nodes per grid step
+
+
+N_STREAMS = 8  # neighbor rows fetched in parallel per inner step
+
+
+def _agg_kernel(ids_ref, *refs):
+    """Grid (tile, TILE_B*T / N_STREAMS).  Each inner step stages N_STREAMS
+    pipelined neighbor rows into VMEM scratch; the last inner step runs the
+    fused projection + weighted mean for the whole tile on the MXU.
+
+    ids_ref:  SMEM scalar-prefetch [B*T] int32 (consumed by the index maps)
+    refs:     N_STREAMS x VMEM (1, 1, Din) neighbor-row blocks (auto-DMA'd
+              by the Mosaic pipeline from the [N, 1, Din]-viewed table,
+              each stream double-buffered), then w_ref (TILE_B, T),
+              wq_ref (Din, H), bq_ref (1, H), out_ref (TILE_B, H),
+              scratch (TILE_B*T, Din)
+    """
+    h_rows = refs[:N_STREAMS]
+    w_ref, wq_ref, bq_ref, out_ref, scratch = refs[N_STREAMS:]
+    j = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+    n_rows = scratch.shape[0]
+    t = w_ref.shape[1]
+
+    for s in range(N_STREAMS):
+        scratch[pl.ds(j * N_STREAMS + s, 1), :] = h_rows[s][0]
+
+    @pl.when(j == n_steps - 1)
+    def _():
+        q = jnp.dot(scratch[:], wq_ref[:],
+                    preferred_element_type=jnp.float32)
+        q = jax.nn.leaky_relu(q + bq_ref[0, :])
+        q = q.reshape(TILE_B, t, -1)
+        w = w_ref[:]
+        w_sum = jnp.sum(w, axis=1, keepdims=True)
+        denom = jnp.where(w_sum == 0.0, 1.0, w_sum)
+        out_ref[:] = jnp.sum(w[:, :, None] * q, axis=1) / denom
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_gather_aggregate(h: jnp.ndarray, nb_nodes: jnp.ndarray,
+                           nb_weights: jnp.ndarray, Wq: jnp.ndarray,
+                           bq: jnp.ndarray, interpret: bool = False
+                           ) -> jnp.ndarray:
+    """agg [B, H] for nb_nodes/nb_weights [B, T] over table h [N, Din].
+
+    Wq is [H, Din] (torch Linear layout, like models.pinsage.ConvParams);
+    B is padded to TILE_B internally.
+    """
+    b, t = nb_nodes.shape
+    din = h.shape[1]
+    hdim = Wq.shape[0]
+    b_pad = ((b + TILE_B - 1) // TILE_B) * TILE_B
+    ids = jnp.zeros((b_pad, t), jnp.int32).at[:b].set(
+        nb_nodes.astype(jnp.int32)).reshape(-1)
+    w = jnp.zeros((b_pad, t), jnp.float32).at[:b].set(
+        nb_weights.astype(jnp.float32))
+    rows_per_tile = TILE_B * t
+    assert rows_per_tile % N_STREAMS == 0
+
+    def row_spec(stream):
+        # neighbor feature rows gathered by scalar-prefetched ids (the
+        # Pallas embedding-gather pattern; the [N, 1, Din] view makes the
+        # block's last two dims match the array, satisfying Mosaic's
+        # tiling rule).  N_STREAMS independent block streams per inner
+        # step amortize the pipeline's per-step overhead.
+        return pl.BlockSpec(
+            (1, 1, din),
+            lambda i, j, ids, s=stream: (
+                ids[i * rows_per_tile + j * N_STREAMS + s], 0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_pad // TILE_B, rows_per_tile // N_STREAMS),
+        in_specs=[row_spec(s) for s in range(N_STREAMS)] + [
+            pl.BlockSpec((TILE_B, t), lambda i, j, ids: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # Wq^T
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # bq
+        ],
+        out_specs=pl.BlockSpec((TILE_B, hdim), lambda i, j, ids: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows_per_tile, din), jnp.float32),
+        ],
+    )
+    h_rows = [h.astype(jnp.float32).reshape(-1, 1, din)] * N_STREAMS
+    out = pl.pallas_call(
+        _agg_kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, hdim), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ids, *h_rows, w, Wq.T.astype(jnp.float32),
+      bq.reshape(1, -1).astype(jnp.float32))
+    return out[:b]
+
+
+def conv_aggregate(h, nb_nodes, nb_weights, Wq, bq, use_pallas: bool = False,
+                   interpret: bool = False):
+    """Importance-weighted neighbor aggregation; XLA or Pallas path."""
+    if use_pallas:
+        return fused_gather_aggregate(h, nb_nodes, nb_weights, Wq, bq,
+                                      interpret=interpret)
+    nb = h[nb_nodes.reshape(-1)].reshape(*nb_nodes.shape, h.shape[1])
+    q = jax.nn.leaky_relu(
+        jnp.einsum("btd,hd->bth", nb, Wq,
+                   preferred_element_type=jnp.float32) + bq)
+    w_sum = nb_weights.sum(axis=1, keepdims=True)
+    denom = jnp.where(w_sum == 0.0, 1.0, w_sum)
+    return (nb_weights[:, :, None] * q).sum(axis=1) / denom

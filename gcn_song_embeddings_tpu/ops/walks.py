@@ -46,20 +46,23 @@ def random_walks(graph: DeviceGraph, nodeset: jnp.ndarray, n_hops: int,
 
     Matches reference `do_random_walks` (pinsage_model.py:32-53) in
     distribution: trace[i, j] is the item reached on hop j of walker i.
+
+    All randomness is generated in ONE vectorized threefry call up front
+    ([n_hops, B, 3]); the scan then only does gathers + compares per hop,
+    which keeps the inner loop at HBM-gather speed instead of paying a
+    PRNG invocation per step.
     """
     nodeset = nodeset.astype(jnp.int32)
+    b = nodeset.shape[0]
+    uniforms = jax.random.uniform(key, (n_hops, b, 3))
 
-    def hop(cur: jnp.ndarray, hop_key: jax.Array):
-        k1, k2, k3 = jax.random.split(hop_key, 3)
-        b = cur.shape[0]
-        u1 = jax.random.uniform(k1, (b,))
-        col = _uniform_neighbor(graph.i2c_indptr, graph.i2c_indices, cur, u1)
-        u2 = jax.random.uniform(k2, (b,))
-        item = _uniform_neighbor(graph.c2i_indptr, graph.c2i_indices, col, u2)
-        restart = jax.random.uniform(k3, (b,)) < alpha
-        nxt = jnp.where(restart, nodeset, item)
+    def hop(cur: jnp.ndarray, u: jnp.ndarray):
+        col = _uniform_neighbor(graph.i2c_indptr, graph.i2c_indices, cur,
+                                u[:, 0])
+        item = _uniform_neighbor(graph.c2i_indptr, graph.c2i_indices, col,
+                                 u[:, 1])
+        nxt = jnp.where(u[:, 2] < alpha, nodeset, item)
         return nxt, item
 
-    keys = jax.random.split(key, n_hops)
-    _, trace = lax.scan(hop, nodeset, keys)
+    _, trace = lax.scan(hop, nodeset, uniforms)
     return trace.T  # [B, n_hops]
