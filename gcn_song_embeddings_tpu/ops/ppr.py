@@ -127,3 +127,60 @@ def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         np.savez_compressed(path, weights=all_w, nodes=all_n)
     return all_w, all_n
+
+
+def precompute_neighborhoods_multichip(graph: DeviceGraph, cfg: WalkConfig,
+                                       path: str | None = None,
+                                       seed: int = 0, devices=None,
+                                       verbose: bool = False
+                                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-device all-node PPR sweep.
+
+    The sweep is embarrassingly parallel over origin nodes: the CSR graph
+    is replicated in every chip's HBM and the walker batch is sharded
+    across a 1-D device mesh, so each jit dispatch runs
+    `batch_walkers * n_devices` walkers (SPMD via sharding propagation —
+    no code changes to the walk kernel).
+    """
+    import jax.sharding as shd
+
+    devices = list(devices if devices is not None else jax.devices())
+    n_dev = len(devices)
+    if n_dev == 1:
+        return precompute_neighborhoods(graph, cfg, path, seed=seed,
+                                        verbose=verbose)
+    mesh = shd.Mesh(np.array(devices), axis_names=("dev",))
+    shard = shd.NamedSharding(mesh, shd.PartitionSpec("dev"))
+    replicate = shd.NamedSharding(mesh, shd.PartitionSpec())
+
+    n_items = graph.n_items
+    T = cfg.t_precompute
+    if path is not None and os.path.isfile(path):
+        with np.load(path) as z:
+            weights, nodes = z["weights"], z["nodes"]
+        if weights.shape == (n_items, T):
+            return weights, nodes
+
+    graph_repl = jax.device_put(graph, replicate)
+    sweep = cfg.batch_walkers * n_dev
+    all_w = np.zeros((n_items, T), dtype=np.float32)
+    all_n = np.zeros((n_items, T), dtype=np.int32)
+    base_key = jax.random.PRNGKey(seed)
+
+    for start in range(0, n_items, sweep):
+        stop = min(start + sweep, n_items)
+        nodeset = np.arange(start, start + sweep, dtype=np.int32) % n_items
+        nodeset = jax.device_put(jnp.asarray(nodeset), shard)
+        key = jax.random.fold_in(base_key, start)
+        w, n = sample_neighborhood_topt(
+            graph_repl, nodeset, cfg.n_hops, cfg.alpha, T, key)
+        valid = stop - start
+        all_w[start:stop] = np.asarray(w)[:valid]
+        all_n[start:stop] = np.asarray(n)[:valid]
+        if verbose:
+            print(f"neighborhoods[{n_dev}dev]: {stop}/{n_items} done")
+
+    if path is not None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(path, weights=all_w, nodes=all_n)
+    return all_w, all_n

@@ -215,6 +215,30 @@ class ShardedTrainer:
                 print(f"epoch {self.epoch}/{epochs}: "
                       f"loss={losses[-1]:.6f} ({time.time() - t0:.2f}s)")
 
+    def save(self, path: str) -> None:
+        """Checkpoint params + optimizer state + epoch (atomic npz,
+        utils/checkpoint.py)."""
+        from gcn_song_embeddings_tpu.utils.checkpoint import save_pytree
+
+        save_pytree(path, {"params": jax.device_get(self.params),
+                           "opt_state": jax.device_get(self.opt_state)},
+                    scalars={"epoch": self.epoch})
+
+    def load(self, path: str) -> bool:
+        from gcn_song_embeddings_tpu.utils.checkpoint import load_pytree
+        import os
+
+        if not os.path.isfile(path):
+            return False
+        replicate = NamedSharding(self.mesh, P())
+        tree, scalars = load_pytree(
+            path, {"params": jax.device_get(self.params),
+                   "opt_state": jax.device_get(self.opt_state)})
+        self.params = jax.device_put(tree["params"], replicate)
+        self.opt_state = jax.device_put(tree["opt_state"], replicate)
+        self.epoch = int(scalars["epoch"])
+        return True
+
     def embed(self, batch_size: int = 4096) -> np.ndarray:
         """Sharded all-catalog embedding sweep -> [n_items, out_dim]."""
         n_dev = self.mesh.shape["dp"] * self.mesh.shape["graph"]
