@@ -18,9 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
-import numpy as np
 
 
 def _load_graph(args, need_features: bool = True):
@@ -267,6 +265,11 @@ def main(argv=None) -> None:
         sp.set_defaults(func=fn)
 
     args = p.parse_args(argv)
+    from gcn_song_embeddings_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     args.func(args)
 
 

@@ -20,7 +20,6 @@ Three generators, all emitting the reference JSON format
 from __future__ import annotations
 
 import json
-import os
 from typing import Iterable, Optional
 
 import numpy as np
@@ -34,7 +33,6 @@ def generate_walk_positives(nbhds: tuple[np.ndarray, np.ndarray],
     (reference generate_positives_simple_walks, generate_positives.py:13-45,
     m defaults to 5x the track count)."""
     weights, nodes = nbhds
-    track_ids = None
     m = m if m is not None else 5 * n_tracks
     rng = np.random.default_rng(seed)
     a = rng.integers(0, n_tracks, size=m)

@@ -16,7 +16,6 @@ GNNs_unsupervised.py:229-261).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -77,7 +77,8 @@ def cosine_topk_streamed(emb: jnp.ndarray, queries: jnp.ndarray, k: int,
     return w[:, 1:], nn[:, 1:]
 
 
-def knn_from_emb(emb, queries=None, k: int = 1000, batch_size: int = 512,
+def knn_from_emb(emb, queries=None, k: int = 1000,
+                 batch_size: int | None = None,
                  streamed: bool | None = None
                  ) -> tuple[np.ndarray, np.ndarray]:
     """Full kNN sweep over `queries` (default: all rows) in device tiles.
@@ -96,6 +97,9 @@ def knn_from_emb(emb, queries=None, k: int = 1000, batch_size: int = 512,
     k = min(k, n - 1)
     if streamed is None:
         streamed = n > 100_000
+    if batch_size is None:
+        # streamed tiles are dispatch-latency-bound: use big query blocks
+        batch_size = 2048 if streamed else 512
 
     w_out = np.empty((nq, k), dtype=np.float32)
     n_out = np.empty((nq, k), dtype=np.int32)

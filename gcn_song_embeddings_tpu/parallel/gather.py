@@ -19,7 +19,6 @@ Must be called inside `shard_map` with a ``graph`` axis in scope.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

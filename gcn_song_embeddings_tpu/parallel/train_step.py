@@ -33,7 +33,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gcn_song_embeddings_tpu.config import RunConfig
 from gcn_song_embeddings_tpu.models.pinsage import (
-    PinSageParams,
     forward_with_gather,
     init_pinsage,
 )

@@ -127,6 +127,11 @@ class PinSageTrainer:
                  nbhds: Optional[tuple[np.ndarray, np.ndarray]] = None,
                  log: bool = True, load_save: bool = True,
                  verbose: bool = True):
+        from gcn_song_embeddings_tpu.utils.compile_cache import (
+            enable_compile_cache,
+        )
+
+        enable_compile_cache()
         self.cfg = cfg if cfg is not None else RunConfig()
         # in_dim always tracks the feature matrix (pinsage_training.py:128)
         if self.cfg.model.in_dim != features.shape[1]:
@@ -247,6 +252,28 @@ class PinSageTrainer:
         path = path or os.path.join(self.run_dir, "emb.npy")
         np.save(path, self.embed())
         return path
+
+    def save_embeddings_per_track(self, track_ids: list[str],
+                                  emb_dir: Optional[str] = None,
+                                  fmt: str = "npy") -> str:
+        """Reference-layout export: one vector file per track id under
+        `<run>/emb/` (pinsage_training.py:297-327), skipping existing
+        files.  fmt='npy' (native) or 'pt' (torch interop, readable by
+        the reference's loaders)."""
+        emb_dir = emb_dir or os.path.join(self.run_dir, "emb")
+        os.makedirs(emb_dir, exist_ok=True)
+        emb = self.embed()
+        for i, tid in enumerate(track_ids):
+            out = os.path.join(emb_dir, f"{tid}.{fmt}")
+            if os.path.isfile(out):
+                continue
+            if fmt == "pt":
+                import torch  # interop only
+
+                torch.save(torch.from_numpy(np.array(emb[i])), out)
+            else:
+                np.save(out, emb[i])
+        return emb_dir
 
     def _log_metrics(self, metrics: np.ndarray) -> None:
         with open(self._metrics_path, "a") as f:

@@ -1,0 +1,114 @@
+"""dataset_large-scale end-to-end run (BASELINE.json configs[2]).
+
+Synthesizes a large bipartite graph (default 100k tracks — the reference's
+dataset_large graph.json is an unfetched 531MB LFS pointer, SURVEY §4),
+then runs the full pipeline on one chip:
+
+    CSR build -> all-node PPR precompute (500 hops, T=100) ->
+    PinSage training (reference hyperparameters) ->
+    full-catalog embedding -> streamed kNN -> hit-rate/MRR eval
+
+Prints a JSON summary with per-phase wall times and throughputs.
+
+Usage: python scripts/scale_demo.py [--tracks 100000] [--epochs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tracks", type=int, default=100_000)
+    ap.add_argument("--collections", type=int, default=20_000)
+    ap.add_argument("--clusters", type=int, default=200)
+    ap.add_argument("--positives", type=int, default=200_000)
+    ap.add_argument("--feature-dim", type=int, default=512)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batches-per-epoch", type=int, default=500)
+    ap.add_argument("--work-dir", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    from gcn_song_embeddings_tpu.config import (
+        RunConfig,
+        config_with_overrides,
+    )
+    from gcn_song_embeddings_tpu.data import SongGraph, make_synthetic_dataset
+    from gcn_song_embeddings_tpu.data.device import DeviceGraph
+    from gcn_song_embeddings_tpu.evals import metrics as M
+    from gcn_song_embeddings_tpu.ops.knn import knn_from_emb
+    from gcn_song_embeddings_tpu.train.trainer import PinSageTrainer
+    from gcn_song_embeddings_tpu.utils.profiling import Timer
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
+    log("devices:", jax.devices())
+    work = args.work_dir or tempfile.mkdtemp(prefix="scale_demo_")
+    timer = Timer()
+
+    with timer.phase("synth"):
+        ds = make_synthetic_dataset(
+            os.path.join(work, "ds"), n_tracks=args.tracks,
+            n_collections=args.collections, n_clusters=args.clusters,
+            tracks_per_collection=30, n_positives=args.positives,
+            feature_dim=args.feature_dim, seed=0)
+    with timer.phase("load_graph"):
+        g = SongGraph(ds, features_file=os.path.join(ds, "features.npy"))
+        dg = DeviceGraph.from_graph(g)
+        train_pos, test_pos = g.load_positives_split(
+            os.path.join(ds, "positives.json"))
+    log(f"graph: {g.n_items} tracks, {g.n_cols} playlists, "
+        f"{dg.n_edges} directed edges")
+
+    cfg = config_with_overrides(RunConfig(run_name="scale_demo"), {
+        "train.epochs": args.epochs,
+        "train.batches_per_epoch": args.batches_per_epoch,
+        "train.lr": 1e-3,
+        "walk.batch_walkers": 8192,
+    })
+    with timer.phase("precompute"):
+        trainer = PinSageTrainer(
+            dg, g.n_items, g.features, train_pos, cfg=cfg,
+            base_run_dir=os.path.join(work, "runs"),
+            nbhds_path=os.path.join(ds, "neighborhoods.npz"),
+            log=True, load_save=True, verbose=False)
+    with timer.phase("train"):
+        trainer.train()
+    with timer.phase("embed"):
+        emb = trainer.embed(bsize=4096)
+    with timer.phase("knn"):
+        k = min(1000, g.n_items - 1)
+        _, knn_n = knn_from_emb(emb, k=k, batch_size=256)
+    with timer.phase("eval"):
+        results = {
+            "hit@100": M.hit_rate(knn_n, test_pos, 100),
+            "hit@500": M.hit_rate(knn_n, test_pos, 500),
+            "mrr@1000": M.mrr(knn_n, test_pos, k),
+        }
+
+    hops = g.n_items * cfg.walk.n_hops
+    summary = {
+        "n_tracks": g.n_items,
+        "n_edges": int(dg.n_edges),
+        "times_s": {k: round(v, 2) for k, v in timer.times.items()},
+        "precompute_hops_per_s": round(hops / timer.times["precompute"], 0),
+        "train_batches_per_s": round(
+            args.epochs * args.batches_per_epoch / timer.times["train"], 1),
+        "embed_tracks_per_s": round(g.n_items / timer.times["embed"], 0),
+        "metrics": {k: round(v, 5) for k, v in results.items()},
+        "work_dir": work,
+    }
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,11 +9,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from functools import partial
-from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from gcn_song_embeddings_tpu.config import RunConfig, config_with_overrides
-from gcn_song_embeddings_tpu.models.pinsage import init_pinsage, pinsage_forward
+from gcn_song_embeddings_tpu.models.pinsage import pinsage_forward
 from gcn_song_embeddings_tpu.parallel.gather import sharded_table_gather
 from gcn_song_embeddings_tpu.parallel.mesh import make_mesh
 from gcn_song_embeddings_tpu.parallel.train_step import ShardedTrainer
