@@ -199,6 +199,11 @@ def measure_torch_baseline(features, nb_w, nb_n, positives) -> float:
 
 
 def main() -> None:
+    from gcn_song_embeddings_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     features, nb_w, nb_n, positives = build_problem()
     eps = edges_per_step(BATCH, N_LAYERS, T)
     log(f"edges per step: {eps}")

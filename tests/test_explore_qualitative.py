@@ -113,3 +113,52 @@ def test_collector_incremental_resume(tmp_path):
     assert g.n_items == len(c2.track_dict)
     # both edge directions materialized
     assert g.i2c.nnz == g.c2i.nnz
+
+
+def test_profiling_utils(tmp_path):
+    from gcn_song_embeddings_tpu.utils.profiling import (
+        MetricsLogger,
+        Timer,
+        throughput,
+    )
+
+    t = Timer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert t.times["a"] >= 0
+    tp = throughput(1000, 2.0)
+    assert tp["value"] == 500.0
+    ml = MetricsLogger(str(tmp_path / "m.jsonl"))
+    ml.log({"Train Loss": 1.0})
+    assert "Train Loss" in open(tmp_path / "m.jsonl").read()
+
+
+def test_per_track_embedding_export(graph, tmp_path):
+    import jax
+
+    from gcn_song_embeddings_tpu.config import RunConfig, config_with_overrides
+    from gcn_song_embeddings_tpu.data.device import DeviceGraph
+    from gcn_song_embeddings_tpu.train.trainer import PinSageTrainer
+
+    rng = np.random.default_rng(0)
+    nbhds = (np.sort(rng.random((graph.n_items, 10)).astype(np.float32),
+                     1)[:, ::-1].copy(),
+             rng.integers(0, graph.n_items,
+                          (graph.n_items, 10)).astype(np.int32))
+    cfg = config_with_overrides(RunConfig(run_name="exp"), {
+        "train.epochs": 0})
+    tr = PinSageTrainer(DeviceGraph.from_graph(graph), graph.n_items,
+                        graph.features, np.zeros((4, 2), np.int32),
+                        cfg=cfg, base_run_dir=str(tmp_path), nbhds=nbhds,
+                        log=False, load_save=False, verbose=False)
+    out = tr.save_embeddings_per_track(graph.track_ids[:20],
+                                       emb_dir=str(tmp_path / "emb"))
+    import os as _os
+
+    files = sorted(_os.listdir(out))
+    assert len(files) == 20 and files[0].endswith(".npy")
+    # EmbLoader can read a per-id directory back (first 20 only -> check one)
+    v = np.load(_os.path.join(out, graph.track_ids[0] + ".npy"))
+    assert v.shape == (cfg.model.out_dim,)
