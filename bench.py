@@ -103,8 +103,8 @@ def measure_tpu(features, nb_w, nb_n, positives) -> float:
         k = jax.random.fold_in(key, i)
         t0 = time.time()
         params, opt_state, m = trn._train_chunk(
-            params, opt_state, fj, wj, nj, pj, k, cfg, N_TRACKS,
-            n_chunk, tx)
+            params, opt_state, fj, wj, nj, pj, k, cfg.train, cfg.model,
+            N_TRACKS, n_chunk, tx)
         np.asarray(m)
         return time.time() - t0
 

@@ -16,6 +16,7 @@ Logged fields per batch keep the reference's wandb names
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -50,23 +51,37 @@ BASE_RUN_DIR = "./runs"
 def make_optimizer(cfg: RunConfig) -> optax.GradientTransformation:
     """Adam + per-epoch exponential LR decay (reference Adam + ExponentialLR,
     pinsage_training.py:147-148, stepped per epoch at :256)."""
+    return _make_optimizer_cached(cfg.train.lr, cfg.train.decay,
+                                  cfg.train.batches_per_epoch)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_optimizer_cached(lr: float, decay: float, batches_per_epoch: int
+                           ) -> optax.GradientTransformation:
+    # Cached so identical configs share one GradientTransformation object:
+    # the trainer passes `tx` as a static jit argument, and a fresh object
+    # per trainer would defeat the jit cache (grid search would recompile
+    # every run).
     schedule = optax.exponential_decay(
-        init_value=cfg.train.lr,
-        transition_steps=cfg.train.batches_per_epoch,
-        decay_rate=cfg.train.decay,
+        init_value=lr,
+        transition_steps=batches_per_epoch,
+        decay_rate=decay,
         staircase=True,
     )
     return optax.adam(learning_rate=schedule)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_items", "n_chunk", "tx"))
+@partial(jax.jit, static_argnames=("tcfg", "mcfg", "n_items", "n_chunk",
+                                   "tx"))
 def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
                  nbhd_w: jnp.ndarray, nbhd_n: jnp.ndarray,
                  positives: jnp.ndarray, chunk_key: jax.Array,
-                 cfg: RunConfig, n_items: int, n_chunk: int, tx):
+                 tcfg, mcfg, n_items: int, n_chunk: int, tx):
     """Run `n_chunk` train batches under one lax.scan. Returns new state +
-    per-batch metrics [n_chunk, 4] (loss, node_feat_loss, variance, lr)."""
-    tcfg, mcfg = cfg.train, cfg.model
+    per-batch metrics [n_chunk, 4] (loss, node_feat_loss, variance, lr).
+
+    Static args are the train/model sub-configs (NOT the whole RunConfig,
+    whose run_name would needlessly fragment the jit cache across runs)."""
 
     def batch_step(carry, key):
         params, opt_state = carry
@@ -193,7 +208,8 @@ class PinSageTrainer:
                 self.params, self.opt_state, metrics = _train_chunk(
                     self.params, self.opt_state, self.features,
                     self.nbhd_w, self.nbhd_n, self.positives, chunk_key,
-                    self.cfg, self.n, n_chunk, self.tx)
+                    self.cfg.train, self.cfg.model, self.n, n_chunk,
+                    self.tx)
                 self.b += n_chunk
                 if self.log:
                     self._log_metrics(np.asarray(metrics))
