@@ -1,0 +1,107 @@
+"""Trainer-level tests: resume, chunking, hard negatives, LR decay,
+metrics logging, determinism."""
+
+import json
+import os
+
+import numpy as np
+
+from gcn_song_embeddings_tpu.config import RunConfig, config_with_overrides
+from gcn_song_embeddings_tpu.data.device import DeviceGraph
+from gcn_song_embeddings_tpu.train.sampler import sample_batch
+from gcn_song_embeddings_tpu.train.trainer import PinSageTrainer
+
+import jax
+import jax.numpy as jnp
+
+
+def _mk_trainer(graph, positives, tmp_path, run_name="t", **over):
+    overrides = {"train.epochs": 2, "train.batches_per_epoch": 10,
+                 "train.batch_size": 32, "walk.n_hops": 100,
+                 "walk.batch_walkers": 256}
+    overrides.update(over)
+    cfg = config_with_overrides(RunConfig(run_name=run_name), overrides)
+    return PinSageTrainer(
+        DeviceGraph.from_graph(graph), graph.n_items, graph.features,
+        positives, cfg=cfg, base_run_dir=str(tmp_path),
+        nbhds_path=os.path.join(str(tmp_path), "nbhds.npz"),
+        log=True, load_save=True, verbose=False)
+
+
+def test_train_resume_and_metrics(graph, positives, tmp_path):
+    tr = _mk_trainer(graph, positives, tmp_path)
+    tr.train()
+    assert tr.e == 2
+    # metrics: one JSONL row per batch with the reference wandb names
+    rows = [json.loads(line)
+            for line in open(os.path.join(tr.run_dir, "metrics.jsonl"))]
+    assert len(rows) == 20
+    for field in ("Train Loss", "Node Features Loss", "Batch Variance",
+                  "Learning Rate"):
+        assert field in rows[0]
+    # LR decays per epoch (staircase exponential, decay=0.95)
+    lr0 = rows[0]["Learning Rate"]
+    lr1 = rows[-1]["Learning Rate"]
+    np.testing.assert_allclose(lr1, lr0 * 0.95, rtol=1e-5)
+
+    # resume: a fresh trainer picks up the finished state and does nothing
+    tr2 = _mk_trainer(graph, positives, tmp_path)
+    assert tr2.e == 2 and tr2.b == 0
+    emb1, emb2 = tr.embed(ids=np.arange(16)), tr2.embed(ids=np.arange(16))
+    np.testing.assert_allclose(emb1, emb2, atol=1e-6)
+
+
+def test_checkpoint_chunking(graph, positives, tmp_path):
+    """checkpoint_every_batches < batches_per_epoch splits the epoch scan
+    into multiple chunks with checkpoints between."""
+    tr = _mk_trainer(graph, positives, tmp_path, run_name="chunked",
+                     **{"train.epochs": 1,
+                        "train.checkpoint_every_batches": 4})
+    tr.train()
+    rows = [json.loads(line)
+            for line in open(os.path.join(tr.run_dir, "metrics.jsonl"))]
+    assert len(rows) == 10  # all batches logged despite chunked scans
+
+
+def test_hard_negative_training(graph, positives, tmp_path):
+    tr = _mk_trainer(graph, positives, tmp_path, run_name="hn",
+                     **{"train.hard_negatives": True, "train.hn_min": 5,
+                        "train.hn_max": 50})
+    tr.train()
+    assert tr.e == 2
+
+
+def test_sampler_hard_negative_ranks(graph, positives):
+    """Hard negatives must come from the query's PPR neighborhood at ranks
+    [hn_min, hn_max) (pinsage_training.py:79-87)."""
+    rng = np.random.default_rng(0)
+    nbhd_n = rng.integers(0, graph.n_items,
+                          (graph.n_items, 60)).astype(np.int32)
+    batch = np.asarray(sample_batch(
+        jax.random.PRNGKey(0), jnp.asarray(positives),
+        jnp.asarray(nbhd_n), 64, graph.n_items, hard_negatives=True,
+        hn_min=5, hn_max=50))
+    for q, p, n in batch:
+        assert n in nbhd_n[q, 5:50]
+
+
+def test_sampler_easy_negative_avoids_batch(graph, positives):
+    batch = np.asarray(sample_batch(
+        jax.random.PRNGKey(1), jnp.asarray(positives),
+        jnp.zeros((graph.n_items, 10), jnp.int32), 64, graph.n_items,
+        hard_negatives=False))
+    batch_nodes = set(batch[:, :2].reshape(-1).tolist())
+    collisions = sum(1 for n in batch[:, 2] if int(n) in batch_nodes)
+    # two rejection rounds leave at most a vanishing collision probability
+    assert collisions <= 2
+
+
+def test_deterministic_training(graph, positives, tmp_path):
+    """Same seed + config -> identical parameters (graph determinism is an
+    explicit reference expectation, SURVEY §7b.12)."""
+    tr1 = _mk_trainer(graph, positives, tmp_path / "a", run_name="d")
+    tr1.train()
+    tr2 = _mk_trainer(graph, positives, tmp_path / "b", run_name="d")
+    tr2.train()
+    np.testing.assert_allclose(np.asarray(tr1.params.G1_w),
+                               np.asarray(tr2.params.G1_w), atol=1e-7)
