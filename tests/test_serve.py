@@ -1,0 +1,71 @@
+"""Serving-layer tests: index correctness + live HTTP roundtrip."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+
+from gcn_song_embeddings_tpu.serve import EmbeddingIndex, serve
+
+
+def _index(graph):
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(graph.n_items, 16)).astype(np.float32)
+    return EmbeddingIndex(emb, graph.track_ids, graph.tracks), emb
+
+
+def test_index_knn_matches_bruteforce(graph):
+    index, emb = _index(graph)
+    out = index.knn(7, 5)
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = unit @ unit[7]
+    want = np.argsort(-sims)[1:6]
+    got = [o["index"] for o in out]
+    assert set(got) == set(want.tolist())
+    assert out[0]["score"] >= out[-1]["score"]
+    assert "name" in out[0]
+
+
+def test_http_roundtrip(graph):
+    index, _ = _index(graph)
+    server = serve(index, port=0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}") as r:
+                return r.status, json.loads(r.read())
+
+        code, health = get("/healthz")
+        assert code == 200 and health["tracks"] == graph.n_items
+
+        tid = graph.track_ids[3]
+        code, res = get(f"/knn?track={tid}&k=4")
+        assert code == 200
+        assert res["query"] == tid
+        assert len(res["neighbors"]) == 4
+        assert all(n["track"] != tid for n in res["neighbors"])
+
+        code, res = get("/knn?index=5&k=3")
+        assert code == 200 and len(res["neighbors"]) == 3
+
+        code, res = get(f"/embed?track={tid}")
+        assert code == 200 and len(res["embedding"]) == 16
+
+        # error paths
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/knn?track=nope")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/bogus")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
