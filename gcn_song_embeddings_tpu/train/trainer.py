@@ -81,7 +81,14 @@ def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
     per-batch metrics [n_chunk, 4] (loss, node_feat_loss, variance, lr).
 
     Static args are the train/model sub-configs (NOT the whole RunConfig,
-    whose run_name would needlessly fragment the jit cache across runs)."""
+    whose run_name would needlessly fragment the jit cache across runs).
+
+    tcfg.dtype="bfloat16" enables mixed precision: master weights and the
+    Adam state stay f32; the feature table, gathered activations, and
+    matmul operands are bf16 with f32 accumulation (halves gather traffic
+    and runs the MXU at its native width)."""
+    compute_dtype = jnp.dtype(tcfg.dtype)
+    features = features.astype(compute_dtype)
 
     def batch_step(carry, key):
         params, opt_state = carry
@@ -89,12 +96,14 @@ def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
         batch = sample_batch(k_sample, positives, nbhd_n,
                              tcfg.batch_size, n_items,
                              hard_negatives=tcfg.hard_negatives,
-                             hn_min=tcfg.hn_min, hn_max=tcfg.hn_max)
+                             hn_min=tcfg.hn_min, hn_max=tcfg.hn_max,
+                             exact=tcfg.exact_batch_sampling)
 
         def loss_fn(p):
+            pc = jax.tree.map(lambda x: x.astype(compute_dtype), p)
             nodes = jnp.concatenate([batch[:, 0], batch[:, 1], batch[:, 2]])
-            emb = pinsage_forward(p, features, nbhd_w, nbhd_n, nodes,
-                                  mcfg.n_layers, mcfg.T)
+            emb = pinsage_forward(pc, features, nbhd_w, nbhd_n, nodes,
+                                  mcfg.n_layers, mcfg.T).astype(jnp.float32)
             h_q, h_pos, h_neg = jnp.split(emb, 3, axis=0)
             loss = max_margin_loss(h_q, h_pos, h_neg, tcfg.margin)
             return loss, h_q

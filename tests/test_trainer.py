@@ -105,3 +105,19 @@ def test_deterministic_training(graph, positives, tmp_path):
     tr2.train()
     np.testing.assert_allclose(np.asarray(tr1.params.G1_w),
                                np.asarray(tr2.params.G1_w), atol=1e-7)
+
+
+def test_bfloat16_training(graph, positives, tmp_path):
+    """Mixed-precision path: finite losses, still learns, f32 master
+    weights."""
+    tr = _mk_trainer(graph, positives, tmp_path, run_name="bf16",
+                     **{"train.dtype": "bfloat16", "train.lr": 1e-3,
+                        "train.margin": 0.1, "train.epochs": 2,
+                        "train.batches_per_epoch": 30})
+    tr.train()
+    assert tr.params.G1_w.dtype == np.float32
+    rows = [json.loads(line)
+            for line in open(os.path.join(tr.run_dir, "metrics.jsonl"))]
+    losses = [r["Train Loss"] for r in rows]
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
