@@ -1,0 +1,67 @@
+"""Fused on-device accuracy evaluation — no kNN materialization.
+
+The reference evaluates by precomputing a [N, 1000] kNN cache and scanning
+it per test pair (eval.py:112-143, 227-250).  When only accuracy numbers
+are needed, the cache is unnecessary: the rank of pair (q, pos) among all
+candidates is
+
+    rank = 1 + #{ j != q : sim(q, j) > sim(q, pos) }
+
+which is one matmul row + one comparison per pair — fully fused on device,
+O(B*N) with nothing but scalar counts returned to the host.  Semantics
+match the reference's metrics: hit@K = rank <= K, MRR uses rank with the
+miss-as-rank-K fallback (eval.py:248-249).  (Ties: the reference's topk
+order resolves ties arbitrarily; here a tie counts in favor of the
+positive, an off-by-ties difference that is negligible for continuous
+embeddings.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=())
+def _rank_block(unit_emb: jnp.ndarray, q: jnp.ndarray, pos: jnp.ndarray
+                ) -> jnp.ndarray:
+    """1-based rank of `pos` among all non-self candidates of `q`.
+
+    unit_emb: [N, d] L2-normalized rows; q/pos: [B] int32.
+    """
+    qv = unit_emb[q]                          # [B, d]
+    sims = jnp.dot(qv, unit_emb.T, preferred_element_type=jnp.float32)
+    pos_sim = jnp.take_along_axis(sims, pos[:, None], axis=1)  # [B, 1]
+    better = sims > pos_sim
+    # exclude the query itself from the candidate set
+    better = better & (jnp.arange(sims.shape[1])[None, :] != q[:, None])
+    return 1 + jnp.sum(better, axis=1)
+
+
+def rank_eval(embeddings: np.ndarray, test_pairs: np.ndarray,
+              hit_ks: tuple[int, ...] = (10, 100, 500),
+              mrr_k: int = 1000, batch: int = 2048) -> dict[str, float]:
+    """Hit-rate@K and MRR@mrr_k for (query, positive) pairs, evaluated
+    against the full catalog directly from the embedding matrix."""
+    emb = np.asarray(embeddings, dtype=np.float32)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    unit = jnp.asarray(emb / np.maximum(norms, 1e-12))
+    pairs = np.asarray(test_pairs, dtype=np.int32)
+    n = pairs.shape[0]
+
+    ranks = np.empty(n, dtype=np.int64)
+    for start in range(0, n, batch):
+        stop = min(start + batch, n)
+        blk = np.zeros((batch, 2), dtype=np.int32)
+        blk[: stop - start] = pairs[start:stop]
+        r = _rank_block(unit, jnp.asarray(blk[:, 0]),
+                        jnp.asarray(blk[:, 1]))
+        ranks[start:stop] = np.asarray(r)[: stop - start]
+
+    out = {f"hit@{k}": float((ranks <= k).mean()) for k in hit_ks}
+    capped = np.minimum(ranks, mrr_k)  # miss counts as rank K
+    out[f"mrr@{mrr_k}"] = float((1.0 / capped).mean())
+    return out

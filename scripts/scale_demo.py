@@ -45,8 +45,7 @@ def main() -> None:
     )
     from gcn_song_embeddings_tpu.data import SongGraph, make_synthetic_dataset
     from gcn_song_embeddings_tpu.data.device import DeviceGraph
-    from gcn_song_embeddings_tpu.evals import metrics as M
-    from gcn_song_embeddings_tpu.ops.knn import knn_from_emb
+    from gcn_song_embeddings_tpu.evals.device_eval import rank_eval
     from gcn_song_embeddings_tpu.train.trainer import PinSageTrainer
     from gcn_song_embeddings_tpu.utils.profiling import Timer
 
@@ -90,15 +89,10 @@ def main() -> None:
         trainer.train()
     with timer.phase("embed"):
         emb = trainer.embed(bsize=4096)
-    with timer.phase("knn"):
-        k = min(1000, g.n_items - 1)
-        _, knn_n = knn_from_emb(emb, k=k, batch_size=256)
     with timer.phase("eval"):
-        results = {
-            "hit@100": M.hit_rate(knn_n, test_pos, 100),
-            "hit@500": M.hit_rate(knn_n, test_pos, 500),
-            "mrr@1000": M.mrr(knn_n, test_pos, k),
-        }
+        # fused on-device rank evaluation: no [N, 1000] kNN cache needed
+        results = rank_eval(emb, test_pos, hit_ks=(100, 500), mrr_k=1000,
+                            batch=4096)
 
     hops = g.n_items * cfg.walk.n_hops
     summary = {
@@ -109,6 +103,7 @@ def main() -> None:
         "train_batches_per_s": round(
             args.epochs * args.batches_per_epoch / timer.times["train"], 1),
         "embed_tracks_per_s": round(g.n_items / timer.times["embed"], 0),
+        "eval_pairs_per_s": round(len(test_pos) / timer.times["eval"], 0),
         "metrics": {k: round(v, 5) for k, v in results.items()},
         "work_dir": work,
     }

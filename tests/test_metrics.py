@@ -126,3 +126,25 @@ def test_low_degree_and_low_co_accuracy():
     got = M.low_co_accuracy(KNN_MAT, POSITIVES, 5, 1, M.hit_rate)
     sel = POSITIVES[POSITIVES[:, 0] != 0]
     assert got == _hit_rate_loop(KNN_MAT, sel, 5)
+
+
+def test_device_rank_eval_matches_knn_metrics():
+    """rank_eval must agree with the kNN-cache path on hit@K and MRR."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from gcn_song_embeddings_tpu.evals.device_eval import rank_eval
+    from gcn_song_embeddings_tpu.ops.knn import knn_from_emb
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(300, 16)).astype(np.float32)
+    pairs = rng.integers(0, 300, (200, 2)).astype(np.int32)
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+
+    got = rank_eval(emb, pairs, hit_ks=(10, 50), mrr_k=200, batch=64)
+    _, knn_n = knn_from_emb(emb, k=299)
+    want_h10 = M.hit_rate(knn_n, pairs, 10)
+    want_h50 = M.hit_rate(knn_n, pairs, 50)
+    want_mrr = M.mrr(knn_n, pairs, 200)
+    np.testing.assert_allclose(got["hit@10"], want_h10, atol=1e-9)
+    np.testing.assert_allclose(got["hit@50"], want_h50, atol=1e-9)
+    np.testing.assert_allclose(got["mrr@200"], want_mrr, atol=1e-6)
