@@ -166,11 +166,16 @@ def cmd_eval(args) -> None:
         "GraphSAGE": GraphSAGE(),
     }
     if graph.features is not None:
-        models["Features"] = EmbLoader(
-            os.path.join(graph.base_dir, "features.npy")
-            if os.path.isfile(os.path.join(graph.base_dir, "features.npy"))
-            else os.path.join(graph.base_dir,
-                              f"features_{args.features}.npy"))
+        # mirror _load_graph's resolution order so the Features baseline
+        # scores the same matrix every other component consumed
+        for cand in (os.path.join(graph.base_dir,
+                                  f"features_{args.features}.npy"),
+                     os.path.join(graph.base_dir, "features.npy"),
+                     os.path.join(graph.base_dir,
+                                  f"features_{args.features}")):
+            if os.path.exists(cand):
+                models["Features"] = EmbLoader(cand)
+                break
     for run_name in args.pinsage_runs or []:
         emb_path = os.path.join(args.run_dir, run_name, "emb.npy")
         models[f"PinSage:{run_name}"] = EmbLoader(emb_path)

@@ -59,8 +59,8 @@ def crawl_embedding(knn_dict, graph, model_names=None, K: int = 10,
             knn_w, knn_n = knn_dict[name]
             print_fn(f"[{i}]{name}:")
             print_fn(format_knn(graph, deg, knn_w[q, :K], knn_n[q, :K]))
-        choice = input_fn("Select song index, e to export, q to quit, "
-                          "r for random: ")
+        choice = input_fn("Select neighbor rank to crawl into, e to "
+                          "export, q to quit, r for random: ")
         if choice == "q":
             return
         if choice == "e":
@@ -68,6 +68,12 @@ def crawl_embedding(knn_dict, graph, model_names=None, K: int = 10,
                 _, knn_n = knn_dict[name]
                 export_recommendation_list(graph, q, knn_n, name)
             export_recommendation_figure(graph, q, knn_dict, model_names)
+            continue
+        if choice.isdigit() and int(choice) < K:
+            # crawl into the selected neighbor (first model's list)
+            _, knn_n = knn_dict[model_names[0]]
+            q = int(knn_n[q, int(choice)])
+            continue
         q = int(rng.integers(0, graph.n_items))
 
 

@@ -36,7 +36,12 @@ class Random(PredictionModel):
         self.n = len(ids)
 
     def knn(self, nodeset, k):
-        rng = np.random.default_rng(self.seed)
+        # key the stream on the queries so batched sweeps don't repeat the
+        # same permutations for every batch
+        nodeset = np.asarray(nodeset)
+        rng = np.random.default_rng(
+            [self.seed, int(nodeset[0]) if len(nodeset) else 0,
+             len(nodeset)])
         nodes = np.stack([rng.permutation(self.n)[:k]
                           for _ in range(len(nodeset))])
         return np.ones_like(nodes, dtype=np.float32), nodes.astype(np.int32)

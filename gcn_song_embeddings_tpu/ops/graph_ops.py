@@ -64,11 +64,15 @@ def common_neighbor_matrix(adj: sp.csr_matrix, queries: np.ndarray,
 
 def adamic_adar_scores(adj: sp.csr_matrix, queries: np.ndarray) -> np.ndarray:
     """Adamic-Adar: sum over common neighbors z of 1/log(deg(z))
-    (nx.adamic_adar_index semantics)."""
-    deg = np.asarray((adj > 0).sum(axis=1)).ravel().astype(np.float32)
-    inv_log = np.zeros_like(deg)
-    ok = deg > 1
-    inv_log[ok] = 1.0 / np.log(deg[ok])
+    (nx.adamic_adar_index semantics).
+
+    Common neighbors z range over adj's COLUMNS (for the unprojected
+    bipartite adjacency those are collections), so deg(z) is a column sum.
+    """
+    col_deg = np.asarray((adj > 0).sum(axis=0)).ravel().astype(np.float32)
+    inv_log = np.zeros_like(col_deg)
+    ok = col_deg > 1
+    inv_log[ok] = 1.0 / np.log(col_deg[ok])
     return common_neighbor_matrix(adj, queries, weights=inv_log)
 
 

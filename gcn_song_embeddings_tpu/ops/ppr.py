@@ -59,9 +59,9 @@ def visit_counts_topt(trace: jnp.ndarray, nodeset: jnp.ndarray, T: int
     seg_sum = jax.vmap(
         lambda data, seg: jax.ops.segment_sum(data, seg, num_segments=H))
     counts = seg_sum(jnp.ones_like(s, dtype=jnp.float32), run_id)  # [B, H]
-    # one start per run -> per-run node value
-    values = seg_sum(jnp.where(is_start, s, 0).astype(jnp.float32),
-                     run_id).astype(jnp.int32)                     # [B, H]
+    # one start per run -> per-run node value (integer segment_sum: no
+    # float round-trip, so ids stay exact beyond 2^24)
+    values = seg_sum(jnp.where(is_start, s, 0), run_id)            # [B, H]
 
     weights = counts / jnp.float32(H)
     weights = jnp.where(values == nodeset[:, None], 0.0, weights)  # zero self
@@ -99,11 +99,9 @@ def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
     n_items = graph.n_items
     T = cfg.t_precompute
 
-    if path is not None and os.path.isfile(path):
-        with np.load(path) as z:
-            weights, nodes = z["weights"], z["nodes"]
-        if weights.shape == (n_items, T):
-            return weights, nodes
+    cached = _load_cache(path, n_items, T, cfg, seed)
+    if cached is not None:
+        return cached
 
     bs = cfg.batch_walkers
     all_w = np.zeros((n_items, T), dtype=np.float32)
@@ -123,10 +121,47 @@ def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
         if verbose:
             print(f"neighborhoods: {stop}/{n_items} done")
 
-    if path is not None:
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez_compressed(path, weights=all_w, nodes=all_n)
+    _save_cache(path, all_w, all_n, cfg, seed)
     return all_w, all_n
+
+
+def _cache_meta(cfg: WalkConfig, seed: int) -> tuple[np.ndarray, np.float64]:
+    # seed is deliberately NOT part of the cache key: the artifact is a
+    # statistical estimate whose distribution does not depend on the seed
+    # (reloading across seeds matches the reference's load-if-present
+    # pragmatics); n_hops/alpha DO change the distribution.
+    del seed
+    return np.array([cfg.n_hops], dtype=np.int64), np.float64(cfg.alpha)
+
+
+def _save_cache(path, all_w, all_n, cfg, seed) -> None:
+    if path is None:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    meta, alpha = _cache_meta(cfg, seed)
+    np.savez_compressed(path, weights=all_w, nodes=all_n, meta=meta,
+                        alpha=alpha)
+
+
+def _load_cache(path, n_items, T, cfg, seed):
+    """Shape + walk-hyperparameter validated reload (the reference only
+    shape-checks, pinsage_model.py:113-116 — that silently serves stale
+    neighborhoods when alpha/n_hops change, e.g. in a walk-param grid)."""
+    if path is None or not os.path.isfile(path):
+        return None
+    with np.load(path) as z:
+        weights, nodes = z["weights"], z["nodes"]
+        meta = z["meta"] if "meta" in z.files else None
+        alpha = float(z["alpha"]) if "alpha" in z.files else None
+    if weights.shape != (n_items, T):
+        return None
+    want_meta, want_alpha = _cache_meta(cfg, seed)
+    if meta is None or alpha is None:
+        return None  # legacy cache without provenance: recompute
+    if not (np.array_equal(meta, want_meta)
+            and np.isclose(alpha, float(want_alpha))):
+        return None
+    return weights, nodes
 
 
 def precompute_neighborhoods_multichip(graph: DeviceGraph, cfg: WalkConfig,
@@ -155,11 +190,9 @@ def precompute_neighborhoods_multichip(graph: DeviceGraph, cfg: WalkConfig,
 
     n_items = graph.n_items
     T = cfg.t_precompute
-    if path is not None and os.path.isfile(path):
-        with np.load(path) as z:
-            weights, nodes = z["weights"], z["nodes"]
-        if weights.shape == (n_items, T):
-            return weights, nodes
+    cached = _load_cache(path, n_items, T, cfg, seed)
+    if cached is not None:
+        return cached
 
     graph_repl = jax.device_put(graph, replicate)
     sweep = cfg.batch_walkers * n_dev
@@ -180,7 +213,5 @@ def precompute_neighborhoods_multichip(graph: DeviceGraph, cfg: WalkConfig,
         if verbose:
             print(f"neighborhoods[{n_dev}dev]: {stop}/{n_items} done")
 
-    if path is not None:
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez_compressed(path, weights=all_w, nodes=all_n)
+    _save_cache(path, all_w, all_n, cfg, seed)
     return all_w, all_n

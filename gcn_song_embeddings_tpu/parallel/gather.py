@@ -49,13 +49,3 @@ def sharded_table_gather(table_local: jnp.ndarray, ids: jnp.ndarray,
     # each peer receives the summed answers for its own request block
     return lax.psum_scatter(rows, axis_name, scatter_dimension=0,
                             tiled=False)
-
-
-def replicated_or_sharded_gather(table: jnp.ndarray, ids: jnp.ndarray,
-                                 n_rows_global: int,
-                                 axis_name: str = "graph") -> jnp.ndarray:
-    """Gather that works whether the table is replicated (local rows ==
-    global rows) or row-sharded along `axis_name`."""
-    if table.shape[0] == n_rows_global:
-        return table[ids]
-    return sharded_table_gather(table, ids, axis_name)

@@ -39,6 +39,10 @@ from gcn_song_embeddings_tpu.models.pinsage import (
 from gcn_song_embeddings_tpu.parallel.gather import sharded_table_gather
 from gcn_song_embeddings_tpu.parallel.mesh import pad_to_multiple
 from gcn_song_embeddings_tpu.train.loss import max_margin_loss
+from gcn_song_embeddings_tpu.train.sampler import (
+    sample_easy_negatives,
+    sample_positive_rows,
+)
 from gcn_song_embeddings_tpu.train.trainer import make_optimizer
 
 
@@ -118,10 +122,13 @@ class ShardedTrainer:
             key = jax.random.fold_in(key, dev)
             kp, kn, kr = jax.random.split(key, 3)
 
-            # --- local triple sampling (see train/sampler.py semantics) ---
-            n_pos = positives.shape[0]
-            rows = jax.random.randint(kp, (b_local,), 0, n_pos)
-            pos_batch = positives[rows]
+            # --- local triple sampling: the single-chip sampler functions
+            # are reused so single- and multi-chip runs share semantics
+            # (exact_batch_sampling, easy-negative batch-collision
+            # rejection); only the hard-negative gather differs because
+            # the neighborhood table is row-sharded here.
+            pos_batch = sample_positive_rows(
+                kp, positives, b_local, exact=tcfg.exact_batch_sampling)
             if tcfg.hard_negatives:
                 ranks = jax.random.randint(kr, (b_local,), tcfg.hn_min,
                                            tcfg.hn_max)
@@ -129,8 +136,7 @@ class ShardedTrainer:
                 neg = jnp.take_along_axis(
                     nbrows, ranks[:, None], axis=1)[:, 0].astype(jnp.int32)
             else:
-                neg = jax.random.randint(kn, (b_local,), 0, n_items
-                                         ).astype(jnp.int32)
+                neg = sample_easy_negatives(kn, pos_batch, n_items)
             batch = jnp.concatenate([pos_batch, neg[:, None]], axis=1)
 
             def loss_fn(p):

@@ -167,6 +167,13 @@ class PinSageTrainer:
         self.n = n_items
         self.verbose = verbose
 
+        if (self.cfg.train.hard_negatives
+                and self.cfg.train.hn_max > self.cfg.walk.t_precompute):
+            raise ValueError(
+                f"train.hn_max={self.cfg.train.hn_max} exceeds "
+                f"walk.t_precompute={self.cfg.walk.t_precompute}: hard "
+                f"negatives are drawn from the precomputed neighborhood "
+                f"ranks (SURVEY 7b.6)")
         if nbhds is None:
             nbhds = precompute_neighborhoods(
                 graph, self.cfg.walk, nbhds_path, seed=self.cfg.train.seed,
@@ -208,6 +215,7 @@ class PinSageTrainer:
         chunk = min(tcfg.checkpoint_every_batches, tcfg.batches_per_epoch)
         base_key = jax.random.PRNGKey(tcfg.seed + 1)
 
+        metrics = None
         while self.e < tcfg.epochs:
             t0 = time.time()
             while self.b < tcfg.batches_per_epoch:
@@ -228,7 +236,7 @@ class PinSageTrainer:
             self.e += 1
             if self.load_save:
                 self.save_model()
-            if self.verbose:
+            if self.verbose and metrics is not None:
                 loss = float(np.asarray(metrics)[-1, 0])
                 print(f"epoch {self.e}/{tcfg.epochs} done in "
                       f"{time.time() - t0:.2f}s, last loss={loss:.6f}")
@@ -265,6 +273,11 @@ class PinSageTrainer:
         self.opt_state = tree["opt_state"]
         self.e = int(scalars["epochs_done"])
         self.b = int(scalars["batches_done"])
+        # a checkpoint written right at the end of the inner loop carries
+        # b == batches_per_epoch with the epoch rollover not yet recorded
+        if self.b >= self.cfg.train.batches_per_epoch:
+            self.b = 0
+            self.e += 1
         if self.verbose:
             print(f"resumed from {self.state_path} "
                   f"(epoch {self.e}, batch {self.b})")

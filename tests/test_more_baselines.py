@@ -126,3 +126,32 @@ def test_similarity_recommenders(graph, positives):
     m.train(graph, graph.track_ids, train, test, None)
     _, knn_n = m.knn(np.arange(graph.n_items), 100)
     assert M.hit_rate(knn_n, test, 100) > 0.35
+
+
+def test_adamic_adar_unprojected(graph):
+    """Unprojected (bipartite) Adamic-Adar: common neighbors are
+    collections, weighted by collection degree."""
+    m = AdamicAdar(projected=False)
+    m.train(graph, graph.track_ids, None, None, None)
+    w, n = m.knn(np.arange(4), 5)
+    assert np.isfinite(w).all()
+    # brute-force for query 0 vs candidate n[0,0]
+    adj = graph_ops.adjacency_tracks(graph, projected=False)
+    a = (adj > 0)
+    cols0 = set(a[0].nonzero()[1].tolist())
+    cand = int(n[0, 0])
+    colsc = set(a[cand].nonzero()[1].tolist())
+    col_deg = np.asarray(a.sum(axis=0)).ravel()
+    want = sum(1.0 / np.log(col_deg[z]) for z in (cols0 & colsc)
+               if col_deg[z] > 1)
+    np.testing.assert_allclose(w[0, 0], want, rtol=1e-5)
+
+
+def test_random_baseline_varies_across_batches(graph):
+    from gcn_song_embeddings_tpu.models.baselines import Random
+
+    m = Random()
+    m.train(graph, graph.track_ids, None, None, None)
+    _, n1 = m.knn(np.arange(0, 8), 10)
+    _, n2 = m.knn(np.arange(8, 16), 10)
+    assert not np.array_equal(n1, n2)

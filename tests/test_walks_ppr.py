@@ -147,3 +147,19 @@ def test_precompute_cache_roundtrip(device_graph, tmp_path):
     w2, n2 = precompute_neighborhoods(device_graph, cfg, path, seed=99)
     np.testing.assert_array_equal(w1, w2)
     np.testing.assert_array_equal(n1, n2)
+
+
+def test_precompute_cache_invalidated_by_walk_params(device_graph, tmp_path):
+    """Changing alpha or n_hops must invalidate the artifact (the reference
+    only shape-checks and silently serves stale neighborhoods)."""
+    path = str(tmp_path / "nb.npz")
+    cfg1 = WalkConfig(n_hops=100, t_precompute=8, batch_walkers=256,
+                      alpha=0.85)
+    w1, _ = precompute_neighborhoods(device_graph, cfg1, path, seed=0)
+    cfg2 = WalkConfig(n_hops=100, t_precompute=8, batch_walkers=256,
+                      alpha=0.5)
+    w2, _ = precompute_neighborhoods(device_graph, cfg2, path, seed=0)
+    assert not np.array_equal(w1, w2)  # recomputed under new alpha
+    # and the artifact now caches the new params
+    w3, _ = precompute_neighborhoods(device_graph, cfg2, path, seed=7)
+    np.testing.assert_array_equal(w2, w3)
