@@ -1,0 +1,56 @@
+"""Multi-host initialization + mesh construction.
+
+Single-host multi-chip runs need nothing special (make_mesh over local
+devices).  Multi-host pod-slice runs initialize the JAX distributed
+runtime first, after which `jax.devices()` spans every host and the same
+(dp, graph) mesh code works unchanged — XLA routes intra-slice collectives
+over ICI and inter-slice traffic over DCN.
+
+This environment has one chip, so this module is exercised only via the
+single-host degenerate path in tests; the API mirrors standard
+jax.distributed usage so real-pod runs need no code changes.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from gcn_song_embeddings_tpu.parallel.mesh import make_mesh
+
+_initialized = False
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> int:
+    """Initialize jax.distributed (idempotent).
+
+    With no arguments, uses the TPU environment's auto-detection (the
+    standard pod-slice path).  Returns this process's index.  On a single
+    process with no coordinator it is a no-op returning 0.
+    """
+    global _initialized
+    if _initialized:
+        return jax.process_index()
+    if coordinator_address is None and num_processes in (None, 1):
+        # single-process run: nothing to initialize
+        _initialized = True
+        return 0
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _initialized = True
+    return jax.process_index()
+
+
+def make_global_mesh(n_graph: int = 1):
+    """(dp, graph) mesh over ALL processes' devices.
+
+    Call after `initialize_multihost`.  Parameters stay replicated and
+    gradients psum over both axes (ShardedTrainer works unchanged); node
+    tables shard over `graph`, which should be kept within a host/slice
+    so table-gather collectives ride ICI rather than DCN.
+    """
+    devices = jax.devices()
+    return make_mesh(n_dp=len(devices) // n_graph, n_graph=n_graph,
+                     devices=devices)
