@@ -165,6 +165,12 @@ def cmd_eval(args) -> None:
         "ColTrackCfLMF": ColTrackCF(algo="lmf"),
         "GraphSAGE": GraphSAGE(),
     }
+    if args.models:
+        unknown = set(args.models) - set(models)
+        if unknown:
+            raise SystemExit(f"unknown models {sorted(unknown)}; "
+                             f"available: {sorted(models)}")
+        models = {k: v for k, v in models.items() if k in args.models}
     if graph.features is not None:
         # mirror _load_graph's resolution order so the Features baseline
         # scores the same matrix every other component consumed
@@ -263,6 +269,8 @@ def main(argv=None) -> None:
             sp.add_argument("--eval-dir", default=None)
             sp.add_argument("--k", type=int, default=1000)
             sp.add_argument("--pinsage-runs", nargs="*", default=None)
+            sp.add_argument("--models", nargs="*", default=None,
+                            help="subset of baseline names to evaluate")
         if verb == "grid":
             sp.add_argument("--grid", required=True,
                             help="json file: {param_path: [values, ...]}")
