@@ -69,3 +69,15 @@ def test_http_roundtrip(graph):
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_quantized_index_recall(graph):
+    index, emb = _index(graph)
+    qindex = EmbeddingIndex(emb, graph.track_ids, graph.tracks,
+                            quantized=True)
+    recall = 0.0
+    for q in range(0, 40):
+        want = {o["index"] for o in index.knn(q, 10)}
+        got = {o["index"] for o in qindex.knn(q, 10)}
+        recall += len(want & got) / 10
+    assert recall / 40 > 0.85
