@@ -127,3 +127,117 @@ def make_synthetic_dataset(
 def _dump(path: str, obj) -> None:
     with open(path, "w", encoding="utf-8") as f:
         json.dump(obj, f)
+
+
+def make_synthetic_dataset_large(
+    out_dir: str,
+    n_tracks: int = 1_000_000,
+    n_collections: int = 200_000,
+    n_clusters: int = 2000,
+    tracks_per_collection: int = 30,
+    n_positives: int = 1_000_000,
+    feature_dim: int = 512,
+    seed: int = 0,
+) -> str:
+    """Vectorized dataset_large-scale generator (same on-disk format).
+
+    The standard generator builds Python dicts per edge — fine to ~100k
+    tracks, prohibitive at 10^6 (tens of millions of dict allocations).
+    This path samples membership with numpy and STREAMS graph.json to disk
+    (the resulting multi-hundred-MB file is what the native C++ scanner
+    exists for).  Track metadata is minimal; features are float16-packed
+    noisy centroids promoted to f32 on load.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    track_cluster = rng.integers(0, n_clusters, size=n_tracks)
+    col_cluster = rng.integers(0, n_clusters, size=n_collections)
+
+    # membership: each collection picks tracks near its cluster by sampling
+    # cluster-sorted track positions around the cluster's block
+    order = np.argsort(track_cluster, kind="stable")
+    cluster_starts = np.searchsorted(track_cluster[order],
+                                     np.arange(n_clusters + 1))
+    sizes = np.diff(cluster_starts)
+    m = n_collections * tracks_per_collection
+    col_of_edge = np.repeat(np.arange(n_collections, dtype=np.int64),
+                            tracks_per_collection)
+    cl = col_cluster[col_of_edge]
+    offs = (rng.random(m) * np.maximum(sizes[cl], 1)).astype(np.int64)
+    tracks_of_edge = order[cluster_starts[cl] + offs]
+    # plus a uniform tail for cross-cluster edges and full coverage
+    wild = rng.random(m) < 0.1
+    tracks_of_edge = np.where(
+        wild, rng.integers(0, n_tracks, size=m), tracks_of_edge)
+    # guarantee every track appears at least once
+    missing = np.setdiff1d(np.arange(n_tracks),
+                           np.unique(tracks_of_edge))
+    if missing.size:
+        extra_cols = rng.integers(0, n_collections, size=missing.size)
+        col_of_edge = np.concatenate([col_of_edge, extra_cols])
+        tracks_of_edge = np.concatenate([tracks_of_edge, missing])
+    # dedup (t, c)
+    enc = tracks_of_edge.astype(np.int64) * n_collections + col_of_edge
+    enc = np.unique(enc)
+    t_e = (enc // n_collections).astype(np.int64)
+    c_e = (enc % n_collections).astype(np.int64)
+
+    # --- stream the JSON files -------------------------------------------
+    with open(os.path.join(out_dir, "tracks.json"), "w",
+              encoding="utf-8") as f:
+        f.write("{")
+        f.write(",".join(
+            f'"t{i:07d}":{{"name":"Song {i}","artist":"Artist '
+            f'{track_cluster[i]}"}}' for i in range(n_tracks)))
+        f.write("}")
+    by_col_order = np.argsort(c_e, kind="stable")
+    c_sorted = c_e[by_col_order]
+    t_sorted = t_e[by_col_order]
+    col_starts = np.searchsorted(c_sorted, np.arange(n_collections + 1))
+    with open(os.path.join(out_dir, "collections.json"), "w",
+              encoding="utf-8") as f:
+        f.write("{")
+        parts = []
+        for c in range(n_collections):
+            members = t_sorted[col_starts[c]:col_starts[c + 1]]
+            zt = ",".join(f'"t{t:07d}"' for t in members)
+            parts.append(f'"c{c:07d}":{{"type":"playlist","name":"P{c}",'
+                         f'"num_tracks":{len(members)},"ztracks":[{zt}]}}')
+        f.write(",".join(parts))
+        f.write("}")
+    with open(os.path.join(out_dir, "graph.json"), "w",
+              encoding="utf-8") as f:
+        f.write('{"tracks":[')
+        f.write(",".join(f'"t{i:07d}"' for i in range(n_tracks)))
+        f.write('],"collections":[')
+        f.write(",".join(f'"c{i:07d}"' for i in range(n_collections)))
+        f.write('],"edges":[')
+        chunks = []
+        for t, c in zip(t_e, c_e):
+            chunks.append(f'{{"from":"t{t:07d}","to":"c{c:07d}"}},'
+                          f'{{"from":"c{c:07d}","to":"t{t:07d}"}}')
+        f.write(",".join(chunks))
+        f.write("]}")
+
+    # positives: same-cluster pairs, vectorized
+    pc = rng.integers(0, n_clusters, size=n_positives)
+    ok = sizes[pc] >= 2
+    pc = pc[ok]
+    a_off = (rng.random(len(pc)) * sizes[pc]).astype(np.int64)
+    b_off = (rng.random(len(pc)) * sizes[pc]).astype(np.int64)
+    a = order[cluster_starts[pc] + a_off]
+    b = order[cluster_starts[pc] + b_off]
+    keep = a != b
+    with open(os.path.join(out_dir, "positives.json"), "w",
+              encoding="utf-8") as f:
+        f.write("[")
+        f.write(",".join(f'{{"a":"t{x:07d}","b":"t{y:07d}"}}'
+                         for x, y in zip(a[keep], b[keep])))
+        f.write("]")
+
+    centroids = rng.normal(size=(n_clusters, feature_dim)).astype(np.float32)
+    feats = centroids[track_cluster] + 0.5 * rng.normal(
+        size=(n_tracks, feature_dim)).astype(np.float32)
+    np.save(os.path.join(out_dir, "features.npy"), feats.astype(np.float32))
+    return out_dir

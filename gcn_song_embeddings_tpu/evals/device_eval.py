@@ -25,20 +25,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=())
-def _rank_block(unit_emb: jnp.ndarray, q: jnp.ndarray, pos: jnp.ndarray
-                ) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("chunk",))
+def _rank_block(unit_emb: jnp.ndarray, q: jnp.ndarray, pos: jnp.ndarray,
+                chunk: int = 65536) -> jnp.ndarray:
     """1-based rank of `pos` among all non-self candidates of `q`.
 
-    unit_emb: [N, d] L2-normalized rows; q/pos: [B] int32.
+    unit_emb: [N, d] L2-normalized rows; q/pos: [B] int32.  The catalog is
+    consumed in [chunk, d] tiles under lax.scan so peak memory is
+    O(B * chunk) — million-track catalogs never materialize a [B, N]
+    similarity block.
     """
-    qv = unit_emb[q]                          # [B, d]
-    sims = jnp.dot(qv, unit_emb.T, preferred_element_type=jnp.float32)
-    pos_sim = jnp.take_along_axis(sims, pos[:, None], axis=1)  # [B, 1]
-    better = sims > pos_sim
-    # exclude the query itself from the candidate set
-    better = better & (jnp.arange(sims.shape[1])[None, :] != q[:, None])
-    return 1 + jnp.sum(better, axis=1)
+    n = unit_emb.shape[0]
+    qv = unit_emb[q]                                     # [B, d]
+    pos_sim = jnp.sum(qv * unit_emb[pos], axis=1)        # [B]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    emb_pad = jnp.pad(unit_emb, ((0, n_pad - n), (0, 0)))
+
+    def tile(acc, start):
+        rows = jax.lax.dynamic_slice_in_dim(emb_pad, start, chunk, axis=0)
+        sims = jnp.dot(qv, rows.T, preferred_element_type=jnp.float32)
+        idx = start + jnp.arange(chunk)
+        valid = (idx[None, :] < n) & (idx[None, :] != q[:, None])
+        better = (sims > pos_sim[:, None]) & valid
+        return acc + jnp.sum(better, axis=1), None
+
+    acc, _ = jax.lax.scan(tile, jnp.zeros(q.shape[0], jnp.int32),
+                          jnp.arange(0, n_pad, chunk))
+    return 1 + acc
 
 
 def rank_eval(embeddings: np.ndarray, test_pairs: np.ndarray,

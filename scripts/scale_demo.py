@@ -44,6 +44,7 @@ def main() -> None:
         config_with_overrides,
     )
     from gcn_song_embeddings_tpu.data import SongGraph, make_synthetic_dataset
+    from gcn_song_embeddings_tpu.data.synth import make_synthetic_dataset_large
     from gcn_song_embeddings_tpu.data.device import DeviceGraph
     from gcn_song_embeddings_tpu.evals.device_eval import rank_eval
     from gcn_song_embeddings_tpu.train.trainer import PinSageTrainer
@@ -55,11 +56,21 @@ def main() -> None:
     timer = Timer()
 
     with timer.phase("synth"):
-        ds = make_synthetic_dataset(
-            os.path.join(work, "ds"), n_tracks=args.tracks,
-            n_collections=args.collections, n_clusters=args.clusters,
-            tracks_per_collection=30, n_positives=args.positives,
-            feature_dim=args.feature_dim, seed=0)
+        ds_path = os.path.join(work, "ds")
+        if os.path.isfile(os.path.join(ds_path, "graph.json")):
+            ds = ds_path  # reuse an already-generated dataset in work-dir
+        elif args.tracks >= 200_000:
+            ds = make_synthetic_dataset_large(
+                ds_path, n_tracks=args.tracks,
+                n_collections=args.collections, n_clusters=args.clusters,
+                tracks_per_collection=30, n_positives=args.positives,
+                feature_dim=args.feature_dim, seed=0)
+        else:
+            ds = make_synthetic_dataset(
+                ds_path, n_tracks=args.tracks,
+                n_collections=args.collections, n_clusters=args.clusters,
+                tracks_per_collection=30, n_positives=args.positives,
+                feature_dim=args.feature_dim, seed=0)
     with timer.phase("load_graph"):
         g = SongGraph(ds, features_file=os.path.join(ds, "features.npy"))
         dg = DeviceGraph.from_graph(g)

@@ -68,7 +68,7 @@ def test_conv_layer_matches_oracle():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-@pytest.mark.parametrize("n_layers", [1, 2, 3])
+@pytest.mark.parametrize("n_layers", [1, 2, 3, 4])
 def test_full_forward_matches_oracle(n_layers):
     rng = np.random.default_rng(1)
     N, Din, H, Dout, T, B = 200, 24, 32, 16, 3, 40
@@ -133,3 +133,19 @@ def test_head_not_normalized():
         jnp.arange(10, dtype=jnp.int32), 1, T))
     norms = np.linalg.norm(out, axis=1)
     assert not np.allclose(norms, 1.0, atol=1e-3)
+
+
+def test_gs2_large_config_forward():
+    """The reference grid search's largest config (n_layers=4, hidden 1024,
+    out 256 — dashboard.py:136-137, grid_search_results/grid_search2.json)
+    must run and stay finite."""
+    rng = np.random.default_rng(9)
+    N, Din, H, Dout, T, B = 400, 512, 1024, 256, 3, 16
+    params = init_pinsage(jax.random.PRNGKey(2), 4, Din, H, Dout)
+    features = rng.normal(size=(N, Din)).astype(np.float32)
+    nb_w, nb_n = _random_nbhds(rng, N, 5)
+    out = np.asarray(pinsage_forward(
+        params, jnp.asarray(features), jnp.asarray(nb_w), jnp.asarray(nb_n),
+        jnp.arange(B, dtype=jnp.int32), 4, T))
+    assert out.shape == (B, Dout)
+    assert np.isfinite(out).all()
