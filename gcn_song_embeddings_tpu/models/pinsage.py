@@ -174,18 +174,47 @@ def pinsage_forward(params: PinSageParams, features: jnp.ndarray,
                                nodeset, n_layers, T)
 
 
+@partial(jax.jit, static_argnames=("n_layers", "T", "batch_size",
+                                   "n_blocks"))
+def _embed_blocks(params: PinSageParams, features: jnp.ndarray,
+                  nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
+                  start: jnp.ndarray, n_items: int, n_layers: int, T: int,
+                  batch_size: int, n_blocks: int) -> jnp.ndarray:
+    """Embed `n_blocks` consecutive [batch_size] blocks in one dispatch
+    (lax.scan) — amortizes per-dispatch latency over large catalogs."""
+    offsets = jnp.arange(batch_size, dtype=jnp.int32)
+
+    def block(_, i):
+        ids = (start + i * batch_size + offsets) % n_items
+        return None, forward_with_gather(
+            params,
+            lambda f: features[f],
+            lambda f: (nbhd_weights[f, :T].astype(jnp.float32),
+                       nbhd_nodes[f, :T].astype(jnp.int32)),
+            ids, n_layers, T)
+
+    _, outs = jax.lax.scan(block, None,
+                           jnp.arange(n_blocks, dtype=jnp.int32))
+    return outs.reshape(n_blocks * batch_size, -1)
+
+
 def embed_all(params: PinSageParams, features: jnp.ndarray,
               nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
               n_items: int, n_layers: int, T: int,
-              batch_size: int = 1024) -> jnp.ndarray:
-    """Embed every item in batches (reference PinSage.embed + save_embeddings,
-    pinsage_training.py:258-327) -> [n_items, out_dim] on host."""
+              batch_size: int = 1024, blocks_per_call: int = 8
+              ) -> jnp.ndarray:
+    """Embed every item (reference PinSage.embed + save_embeddings,
+    pinsage_training.py:258-327) -> [n_items, out_dim].
+
+    Each dispatch scans `blocks_per_call` blocks of `batch_size` nodes —
+    at million-track scale per-dispatch latency otherwise dominates."""
     import numpy as np
 
     outs = []
-    for start in range(0, n_items, batch_size):
-        ids = np.arange(start, start + batch_size, dtype=np.int32) % n_items
-        out = pinsage_forward(params, features, nbhd_weights, nbhd_nodes,
-                              jnp.asarray(ids), n_layers, T)
-        outs.append(np.asarray(out)[: min(batch_size, n_items - start)])
+    stride = batch_size * blocks_per_call
+    for start in range(0, n_items, stride):
+        out = _embed_blocks(params, features, nbhd_weights, nbhd_nodes,
+                            jnp.int32(start), n_items, n_layers, T,
+                            batch_size, blocks_per_call)
+        outs.append(np.asarray(out)[: min(stride, n_items - start)])
     return jnp.asarray(np.concatenate(outs, axis=0))

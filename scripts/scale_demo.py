@@ -112,7 +112,9 @@ def main() -> None:
         "times_s": {k: round(v, 2) for k, v in timer.times.items()},
         "precompute_hops_per_s": round(hops / timer.times["precompute"], 0),
         "train_batches_per_s": round(
-            args.epochs * args.batches_per_epoch / timer.times["train"], 1),
+            args.epochs * args.batches_per_epoch
+            / max(timer.times["train"], 1e-9), 1)
+        if timer.times["train"] > 1 else None,
         "embed_tracks_per_s": round(g.n_items / timer.times["embed"], 0),
         "eval_pairs_per_s": round(len(test_pos) / timer.times["eval"], 0),
         "metrics": {k: round(v, 5) for k, v in results.items()},
