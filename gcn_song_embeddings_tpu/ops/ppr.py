@@ -85,6 +85,26 @@ def sample_neighborhood_topt(graph: DeviceGraph, nodeset: jnp.ndarray,
     return visit_counts_topt(trace, nodeset, T)
 
 
+@partial(jax.jit, static_argnames=("n_hops", "T", "batch", "n_blocks"))
+def _neighborhood_sweep_blocks(graph: DeviceGraph, start: jnp.ndarray,
+                               n_items: int, n_hops: int, alpha: float,
+                               T: int, key: jax.Array, batch: int,
+                               n_blocks: int):
+    """`n_blocks` consecutive walk+top-T batches in one dispatch
+    (lax.scan) — amortizes per-dispatch latency over large catalogs."""
+    offsets = jnp.arange(batch, dtype=jnp.int32)
+
+    def block(_, i):
+        nodeset = (start + i * batch + offsets) % n_items
+        bkey = jax.random.fold_in(key, i)
+        trace = random_walks(graph, nodeset, n_hops, alpha, bkey)
+        return None, visit_counts_topt(trace, nodeset, T)
+
+    _, (w, n) = jax.lax.scan(block, None,
+                             jnp.arange(n_blocks, dtype=jnp.int32))
+    return w.reshape(n_blocks * batch, T), n.reshape(n_blocks * batch, T)
+
+
 def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
                              path: str | None, seed: int = 0,
                              verbose: bool = False
@@ -104,17 +124,18 @@ def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
         return cached
 
     bs = cfg.batch_walkers
+    n_blocks = max(min(4, -(-n_items // bs)), 1)
+    stride = bs * n_blocks
     all_w = np.zeros((n_items, T), dtype=np.float32)
     all_n = np.zeros((n_items, T), dtype=np.int32)
     base_key = jax.random.PRNGKey(seed)
 
-    for start in range(0, n_items, bs):
-        stop = min(start + bs, n_items)
-        # Pad the tail batch to keep a single compiled shape.
-        nodeset = np.arange(start, start + bs, dtype=np.int32) % n_items
+    for start in range(0, n_items, stride):
+        stop = min(start + stride, n_items)
         key = jax.random.fold_in(base_key, start)
-        w, n = sample_neighborhood_topt(
-            graph, jnp.asarray(nodeset), cfg.n_hops, cfg.alpha, T, key)
+        w, n = _neighborhood_sweep_blocks(
+            graph, jnp.int32(start), n_items, cfg.n_hops, cfg.alpha, T,
+            key, bs, n_blocks)
         valid = stop - start
         all_w[start:stop] = np.asarray(w)[:valid]
         all_n[start:stop] = np.asarray(n)[:valid]
