@@ -111,3 +111,14 @@ def test_native_parser_matches_python(dataset_dir, graph):
     else:
         src_c, dst_c = jsongraph.load_edges(graph_path, graph.index_map)
         np.testing.assert_array_equal(src_c, src_py)
+
+
+def test_recommended_config_preset():
+    from gcn_song_embeddings_tpu.config import RunConfig
+
+    rc = RunConfig.recommended("x")
+    assert rc.run_name == "x"
+    assert rc.train.margin == 0.1 and rc.train.lr == 1e-3
+    # structural hyperparameters stay at reference values
+    assert rc.model.n_layers == 2 and rc.model.T == 3
+    assert rc.walk.alpha == 0.85 and rc.walk.n_hops == 500

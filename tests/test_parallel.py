@@ -144,3 +144,15 @@ def test_sharded_trainer_checkpoint_roundtrip(tmp_path):
     assert tr2.epoch == 2
     emb2 = tr2.embed(batch_size=64)
     np.testing.assert_allclose(emb1, emb2, atol=1e-6)
+
+
+def test_multihost_degenerate_init():
+    from gcn_song_embeddings_tpu.parallel.multihost import (
+        initialize_multihost,
+        make_global_mesh,
+    )
+
+    assert initialize_multihost() == 0  # single-process no-op
+    mesh = make_global_mesh(n_graph=2)
+    assert mesh.shape["graph"] == 2
+    assert mesh.shape["dp"] * 2 == len(jax.devices())
