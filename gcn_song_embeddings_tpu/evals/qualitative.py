@@ -25,6 +25,72 @@ def examine_knn_weights(knn_dict, ranks=(0, 1, 2, 3, 10, 50, 100, 500)
         print(f"{name}:\n{knn_w[0:10][:, cols]}")
 
 
+def knn_example(emb: np.ndarray, n_examples: int, k: int, graph,
+                seed: int = 0, print_fn=print) -> None:
+    """Eyeball-check kNN of random queries by euclidean distance
+    (reference knn_example / song_titles, pinsage_training.py:368-388)."""
+    rng = np.random.default_rng(seed)
+    for _ in range(n_examples):
+        q = int(rng.integers(0, emb.shape[0]))
+        dist = np.linalg.norm(emb - emb[q], axis=1)
+        nn = np.argsort(dist)[:k]
+        titles = []
+        for i in nn:
+            info = graph.tracks[graph.track_ids[int(i)]]
+            titles.append(f"{info.get('artist', '')} - {info['name']}")
+        print_fn(" | ".join(titles))
+
+
+def examine_emb(model_names, save_dir: str, print_fn=print) -> None:
+    """Print the top-left corner of each model's cached embedding matrix
+    (reference examine_emb, eval.py:481-486)."""
+    from gcn_song_embeddings_tpu.evals.harness import load_embedding
+
+    for name in model_names:
+        emb = load_embedding(name, save_dir)
+        print_fn(f"{name}:\n{emb[0:10, 0:10]}")
+
+
+def export_recommendation_lists(graph, queries, knn_dict, model_names=None,
+                                k: int = 5, out_root: str = "examples"
+                                ) -> None:
+    """Export lists + figure for several queries (reference
+    export_recommendation_lists, eval.py:538-548)."""
+    model_names = list(model_names or knn_dict)
+    for q in queries:
+        for name in model_names:
+            _, knn_n = knn_dict[name]
+            export_recommendation_list(graph, q, knn_n, name, k=k,
+                                       out_root=out_root)
+        export_recommendation_figure(graph, q, knn_dict, model_names,
+                                     out_root=out_root)
+
+
+def plot_embedding_projection(emb: np.ndarray, out_path: str,
+                              labels=None, sample: int = 2000,
+                              seed: int = 0) -> str:
+    """2-D PCA scatter of the embedding space (the reference's `plot_tsne`
+    is an empty stub, eval.py:631-633; PCA keeps this dependency-light)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(emb.shape[0])[:sample]
+    x = emb[idx] - emb[idx].mean(0)
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    proj = x @ vt[:2].T
+    plt.figure(figsize=(6, 6))
+    c = None if labels is None else np.asarray(labels)[idx]
+    plt.scatter(proj[:, 0], proj[:, 1], s=3, c=c, cmap="tab20", alpha=0.6)
+    plt.title(f"embedding PCA projection (n={len(idx)})")
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=120)
+    plt.close()
+    return out_path
+
+
 def format_knn(graph, in_degrees: np.ndarray, knn_w: np.ndarray,
                knn_n: np.ndarray) -> str:
     """Readable kNN list with name/artist/degree

@@ -199,6 +199,30 @@ class OpenL3(Embedder):
             "EmbLoader / features_openl3 directory.")
 
 
+class VGGish(Embedder):
+    """Stub (reference lists VGGish features, generate_node_features.py:232-248
+    commented out): pretrained weights unavailable offline; vectors are
+    consumed via EmbLoader / features_vggish2 directories."""
+
+    name = "vggish2"
+    dim = 128
+
+    def embed_batch(self, clips):
+        raise RuntimeError("VGGish needs pretrained weights, unavailable "
+                           "offline; load precomputed vectors via EmbLoader.")
+
+
+class MusicNN(Embedder):
+    """Stub (reference generate_node_features.py:251-271, commented out)."""
+
+    name = "musicnn"
+    dim = 200
+
+    def embed_batch(self, clips):
+        raise RuntimeError("MusicNN needs pretrained weights, unavailable "
+                           "offline; load precomputed vectors via EmbLoader.")
+
+
 def generate_features(dataset_dir: str, embedder: Embedder,
                       clip_dir: str | None = None, batch_size: int = 512,
                       out_dir: str | None = None,

@@ -162,3 +162,42 @@ def test_per_track_embedding_export(graph, tmp_path):
     # EmbLoader can read a per-id directory back (first 20 only -> check one)
     v = np.load(_os.path.join(out, graph.track_ids[0] + ".npy"))
     assert v.shape == (cfg.model.out_dim,)
+
+
+def test_knn_example_and_projection(graph, tmp_path, capsys):
+    from gcn_song_embeddings_tpu.evals.qualitative import (
+        knn_example,
+        plot_embedding_projection,
+    )
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(graph.n_items, 16)).astype(np.float32)
+    knn_example(emb, 2, 3, graph)
+    out = capsys.readouterr().out
+    assert " - " in out and "|" in out
+
+    p = plot_embedding_projection(emb, str(tmp_path / "proj.png"))
+    assert os.path.getsize(p) > 1000
+
+
+def test_examine_emb_and_plural_export(graph, tmp_path, capsys, monkeypatch):
+    from gcn_song_embeddings_tpu.evals.qualitative import (
+        examine_emb,
+        export_recommendation_lists,
+    )
+
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(graph.n_items, 8)).astype(np.float32)
+    os.makedirs(tmp_path / "emb", exist_ok=True)
+    np.save(tmp_path / "emb" / "M.npy", emb)
+    examine_emb(["M"], str(tmp_path))
+    assert "M:" in capsys.readouterr().out
+
+    monkeypatch.chdir(tmp_path)
+    knn = np.stack([rng.permutation(graph.n_items)[:6]
+                    for _ in range(graph.n_items)])
+    knn_dict = {"M": (np.ones_like(knn, dtype=float), knn)}
+    export_recommendation_lists(graph, [1, 2], knn_dict, ["M"])
+    name1 = graph.tracks[graph.track_ids[1]]["name"]
+    assert os.path.isfile(os.path.join("examples", name1, "M", "list.json"))
+    assert os.path.isfile(os.path.join("examples", name1, "figure.tex"))
