@@ -1,0 +1,161 @@
+"""Edge-partitioned random walks: the graph CSR sharded across devices.
+
+`ops/walks.py` assumes the whole bipartite CSR fits in one chip's HBM
+(true to ~10^8 edges).  Beyond that, the north-star design (SURVEY §2.2)
+edge-partitions the graph: each device owns a contiguous row range of the
+item->collection table and of the collection->item table, plus the
+corresponding slices of the flat `indices` arrays.  Walkers stay pinned to
+their device; every hop performs its two neighbor lookups REMOTELY through
+the same all_gather + psum_scatter exchange used for sharded feature
+tables (parallel/gather.py):
+
+    1. gather (start, degree) for each walker's current node from the
+       row-sharded offset table,
+    2. pick a uniform slot, gather the neighbor id from the nnz-sharded
+       indices array.
+
+Four collective gathers per hop (2 per bipartite step) ride ICI; all
+shapes static.  Distribution is identical to the single-chip kernel
+(statistical test on the virtual CPU mesh).
+
+Sharding layout (built by `shard_graph`):
+    i2c_off  [n_items, 2] int32  (start, degree), row-sharded
+    i2c_idx  [nnz] int32         neighbor ids, sharded by nnz ranges
+    c2i_off / c2i_idx            likewise for the reverse direction
+Row/nnz counts are padded to multiples of the graph-axis size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gcn_song_embeddings_tpu.data.device import DeviceGraph
+from gcn_song_embeddings_tpu.parallel.gather import sharded_table_gather
+from gcn_song_embeddings_tpu.parallel.mesh import pad_to_multiple
+
+
+class ShardedGraph(NamedTuple):
+    i2c_off: jnp.ndarray   # [n_items_pad, 2] (start, deg), row-sharded
+    i2c_idx: jnp.ndarray   # [nnz_pad, 1], nnz-sharded
+    c2i_off: jnp.ndarray
+    c2i_idx: jnp.ndarray
+    n_items: int
+    n_cols: int
+
+
+def shard_graph(graph: DeviceGraph, mesh: Mesh, axis: str = "graph"
+                ) -> ShardedGraph:
+    """Partition the bipartite CSR across `axis` (edge partitioning)."""
+    g = mesh.shape[axis]
+    spec = NamedSharding(mesh, P(axis, None))
+
+    def offsets(indptr):
+        ptr = np.asarray(indptr, dtype=np.int64)
+        out = np.stack([ptr[:-1], np.diff(ptr)], axis=1).astype(np.int32)
+        pad = pad_to_multiple(out.shape[0], g) - out.shape[0]
+        return jax.device_put(np.pad(out, ((0, pad), (0, 0))), spec)
+
+    def flat(indices):
+        arr = np.asarray(indices, dtype=np.int32)[:, None]
+        pad = pad_to_multiple(arr.shape[0], g) - arr.shape[0]
+        return jax.device_put(np.pad(arr, ((0, pad), (0, 0))), spec)
+
+    return ShardedGraph(
+        i2c_off=offsets(graph.i2c_indptr), i2c_idx=flat(graph.i2c_indices),
+        c2i_off=offsets(graph.c2i_indptr), c2i_idx=flat(graph.c2i_indices),
+        n_items=graph.n_items, n_cols=graph.n_cols)
+
+
+def _remote_neighbor(off_local, idx_local, nodes, u, axis):
+    """Uniform random neighbor via two collective gathers."""
+    off = sharded_table_gather(off_local, nodes, axis)      # [W, 2]
+    start, deg = off[:, 0], off[:, 1]
+    slot = jnp.minimum((u * deg.astype(u.dtype)).astype(jnp.int32),
+                       jnp.maximum(deg - 1, 0))
+    nb = sharded_table_gather(idx_local, start + slot, axis)  # [W, 1]
+    return nb[:, 0]
+
+
+def make_sharded_walker(mesh: Mesh, sg: ShardedGraph, n_hops: int,
+                        alpha: float, axis: str = "graph"):
+    """Returns jitted walks(nodeset [W], key) -> trace [W, n_hops] with the
+    nodeset sharded over ALL mesh axes and the graph sharded over `axis`."""
+    all_axes = tuple(mesh.axis_names)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                       P(axis, None), P(all_axes), P()),
+             out_specs=P(all_axes, None), check_vma=False)
+    def walk(i2c_off, i2c_idx, c2i_off, c2i_idx, nodeset, key):
+        dev = lax.axis_index(all_axes)
+        key = jax.random.fold_in(key, dev)
+        w = nodeset.shape[0]
+        uniforms = jax.random.uniform(key, (n_hops, w, 3))
+
+        def hop(cur, u):
+            col = _remote_neighbor(i2c_off, i2c_idx, cur, u[:, 0], axis)
+            item = _remote_neighbor(c2i_off, c2i_idx, col, u[:, 1], axis)
+            nxt = jnp.where(u[:, 2] < alpha, nodeset, item)
+            return nxt, item
+
+        _, trace = lax.scan(hop, nodeset, uniforms)
+        return trace.T
+
+    def walks(nodeset: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        return walk(sg.i2c_off, sg.i2c_idx, sg.c2i_off, sg.c2i_idx,
+                    nodeset.astype(jnp.int32), key)
+
+    return walks
+
+
+def precompute_neighborhoods_partitioned(graph: DeviceGraph, cfg, mesh: Mesh,
+                                         path: str | None = None,
+                                         seed: int = 0,
+                                         verbose: bool = False):
+    """All-node PPR sweep over an edge-partitioned graph.
+
+    The counterpart of ops.ppr.precompute_neighborhoods for graphs whose
+    CSR exceeds one chip's HBM: the graph lives sharded across the mesh's
+    `graph` axis and walkers are spread over every device.  Counting/top-T
+    runs on the gathered [W, n_hops] traces (graph-size independent).
+    """
+    from gcn_song_embeddings_tpu.ops.ppr import (
+        _load_cache,
+        _save_cache,
+        visit_counts_topt,
+    )
+
+    n_items = graph.n_items
+    T = cfg.t_precompute
+    cached = _load_cache(path, n_items, T, cfg, seed)
+    if cached is not None:
+        return cached
+
+    sg = shard_graph(graph, mesh)
+    walker = make_sharded_walker(mesh, sg, cfg.n_hops, cfg.alpha)
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    sweep = pad_to_multiple(cfg.batch_walkers, n_dev)
+
+    all_w = np.zeros((n_items, T), dtype=np.float32)
+    all_n = np.zeros((n_items, T), dtype=np.int32)
+    base_key = jax.random.PRNGKey(seed)
+    for start in range(0, n_items, sweep):
+        stop = min(start + sweep, n_items)
+        nodeset = np.arange(start, start + sweep, dtype=np.int32) % n_items
+        trace = walker(jnp.asarray(nodeset),
+                       jax.random.fold_in(base_key, start))
+        w, n = visit_counts_topt(trace, jnp.asarray(nodeset), T)
+        valid = stop - start
+        all_w[start:stop] = np.asarray(w)[:valid]
+        all_n[start:stop] = np.asarray(n)[:valid]
+        if verbose:
+            print(f"neighborhoods[partitioned]: {stop}/{n_items} done")
+    _save_cache(path, all_w, all_n, cfg, seed)
+    return all_w, all_n

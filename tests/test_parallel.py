@@ -156,3 +156,62 @@ def test_multihost_degenerate_init():
     mesh = make_global_mesh(n_graph=2)
     assert mesh.shape["graph"] == 2
     assert mesh.shape["dp"] * 2 == len(jax.devices())
+
+
+def test_edge_partitioned_walks_distribution(device_graph):
+    """Walks over the device-sharded CSR must match the replicated kernel's
+    visit distribution (edge partitioning = the north-star halo-exchange
+    design; graph rows/nnz live on different devices)."""
+    from gcn_song_embeddings_tpu.ops.walks import random_walks
+    from gcn_song_embeddings_tpu.parallel.walks_sharded import (
+        make_sharded_walker,
+        shard_graph,
+    )
+
+    mesh = make_mesh(n_dp=2, n_graph=4)
+    sg = shard_graph(device_graph, mesh)
+    n_hops, alpha = 400, 0.85
+    walker = make_sharded_walker(mesh, sg, n_hops, alpha)
+
+    origin = 7
+    W = 64
+    nodeset = jnp.full((W,), origin, dtype=jnp.int32)
+    tr_sharded = np.asarray(walker(nodeset, jax.random.PRNGKey(0)))
+    assert tr_sharded.shape == (W, n_hops)
+
+    tr_local = np.asarray(random_walks(device_graph, nodeset, n_hops,
+                                       alpha, jax.random.PRNGKey(1)))
+    n = device_graph.n_items
+    p_sh = np.bincount(tr_sharded.reshape(-1), minlength=n).astype(float)
+    p_lo = np.bincount(tr_local.reshape(-1), minlength=n).astype(float)
+    p_sh /= p_sh.sum()
+    p_lo /= p_lo.sum()
+    tv = 0.5 * np.abs(p_sh - p_lo).sum()
+    assert tv < 0.06, f"total variation {tv}"
+    # walks only visit valid items
+    assert tr_sharded.min() >= 0 and tr_sharded.max() < n
+
+
+def test_partitioned_precompute(device_graph):
+    from gcn_song_embeddings_tpu.config import WalkConfig
+    from gcn_song_embeddings_tpu.parallel.walks_sharded import (
+        precompute_neighborhoods_partitioned,
+    )
+
+    mesh = make_mesh(n_dp=2, n_graph=4)
+    cfg = WalkConfig(n_hops=200, t_precompute=5, batch_walkers=128)
+    w, n = precompute_neighborhoods_partitioned(device_graph, cfg, mesh,
+                                                seed=0)
+    assert w.shape == (device_graph.n_items, 5)
+    assert (w >= 0).all() and np.isfinite(w).all()
+    # top-1 neighbors must be 2-hop reachable
+    i2c_ptr = np.asarray(device_graph.i2c_indptr)
+    i2c_idx = np.asarray(device_graph.i2c_indices)
+    c2i_ptr = np.asarray(device_graph.c2i_indptr)
+    c2i_idx = np.asarray(device_graph.c2i_indices)
+    for q in range(5):
+        two_hop = set()
+        for c in i2c_idx[i2c_ptr[q]:i2c_ptr[q + 1]]:
+            two_hop.update(
+                c2i_idx[c2i_ptr[c]:c2i_ptr[c + 1]].tolist())
+        assert int(n[q, 0]) in two_hop
