@@ -165,12 +165,6 @@ def cmd_eval(args) -> None:
         "ColTrackCfLMF": ColTrackCF(algo="lmf"),
         "GraphSAGE": GraphSAGE(),
     }
-    if args.models:
-        unknown = set(args.models) - set(models)
-        if unknown:
-            raise SystemExit(f"unknown models {sorted(unknown)}; "
-                             f"available: {sorted(models)}")
-        models = {k: v for k, v in models.items() if k in args.models}
     if graph.features is not None:
         # mirror _load_graph's resolution order so the Features baseline
         # scores the same matrix every other component consumed
@@ -185,6 +179,13 @@ def cmd_eval(args) -> None:
     for run_name in args.pinsage_runs or []:
         emb_path = os.path.join(args.run_dir, run_name, "emb.npy")
         models[f"PinSage:{run_name}"] = EmbLoader(emb_path)
+
+    if args.models:
+        unknown = set(args.models) - set(models)
+        if unknown:
+            raise SystemExit(f"unknown models {sorted(unknown)}; "
+                             f"available: {sorted(models)}")
+        models = {k: v for k, v in models.items() if k in args.models}
 
     save_dir = args.eval_dir or os.path.join(args.dataset, "baselines")
     knn_dict = get_knn_dict(models, graph, graph.track_ids, train_pos,

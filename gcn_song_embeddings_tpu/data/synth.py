@@ -143,10 +143,10 @@ def make_synthetic_dataset_large(
 
     The standard generator builds Python dicts per edge — fine to ~100k
     tracks, prohibitive at 10^6 (tens of millions of dict allocations).
-    This path samples membership with numpy and STREAMS graph.json to disk
-    (the resulting multi-hundred-MB file is what the native C++ scanner
-    exists for).  Track metadata is minimal; features are float16-packed
-    noisy centroids promoted to f32 on load.
+    This path samples membership with numpy and writes graph.json in
+    bounded batches (the resulting multi-hundred-MB file is what the
+    native C++ scanner exists for).  Track metadata is minimal; features
+    are f32 noisy centroids.
     """
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
@@ -165,9 +165,11 @@ def make_synthetic_dataset_large(
                             tracks_per_collection)
     cl = col_cluster[col_of_edge]
     offs = (rng.random(m) * np.maximum(sizes[cl], 1)).astype(np.int64)
-    tracks_of_edge = order[cluster_starts[cl] + offs]
-    # plus a uniform tail for cross-cluster edges and full coverage
-    wild = rng.random(m) < 0.1
+    tracks_of_edge = order[np.minimum(cluster_starts[cl] + offs,
+                                      n_tracks - 1)]
+    # empty clusters (possible when clusters >> tracks/cluster) fall back
+    # to uniform tracks, plus a uniform tail for cross-cluster edges
+    wild = (rng.random(m) < 0.1) | (sizes[cl] == 0)
     tracks_of_edge = np.where(
         wild, rng.integers(0, n_tracks, size=m), tracks_of_edge)
     # guarantee every track appears at least once
@@ -213,11 +215,17 @@ def make_synthetic_dataset_large(
         f.write('],"collections":[')
         f.write(",".join(f'"c{i:07d}"' for i in range(n_collections)))
         f.write('],"edges":[')
-        chunks = []
-        for t, c in zip(t_e, c_e):
-            chunks.append(f'{{"from":"t{t:07d}","to":"c{c:07d}"}},'
-                          f'{{"from":"c{c:07d}","to":"t{t:07d}"}}')
-        f.write(",".join(chunks))
+        # write in bounded batches: the full edge-string list for ~10^7
+        # edges would hold GBs of Python strings in memory at once
+        batch = 200_000
+        for s0 in range(0, len(t_e), batch):
+            chunk = ",".join(
+                f'{{"from":"t{t:07d}","to":"c{c:07d}"}},'
+                f'{{"from":"c{c:07d}","to":"t{t:07d}"}}'
+                for t, c in zip(t_e[s0:s0 + batch], c_e[s0:s0 + batch]))
+            if s0:
+                f.write(",")
+            f.write(chunk)
         f.write("]}")
 
     # positives: same-cluster pairs, vectorized

@@ -63,7 +63,7 @@ def export_recommendation_lists(graph, queries, knn_dict, model_names=None,
             export_recommendation_list(graph, q, knn_n, name, k=k,
                                        out_root=out_root)
         export_recommendation_figure(graph, q, knn_dict, model_names,
-                                     out_root=out_root)
+                                     k=k - 1, out_root=out_root)
 
 
 def plot_embedding_projection(emb: np.ndarray, out_path: str,

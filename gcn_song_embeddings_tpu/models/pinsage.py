@@ -210,6 +210,8 @@ def embed_all(params: PinSageParams, features: jnp.ndarray,
     at million-track scale per-dispatch latency otherwise dominates."""
     import numpy as np
 
+    blocks_per_call = max(min(blocks_per_call,
+                              -(-n_items // batch_size)), 1)
     outs = []
     stride = batch_size * blocks_per_call
     for start in range(0, n_items, stride):

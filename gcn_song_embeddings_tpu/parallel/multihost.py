@@ -32,13 +32,23 @@ def initialize_multihost(coordinator_address: str | None = None,
     global _initialized
     if _initialized:
         return jax.process_index()
-    if coordinator_address is None and num_processes in (None, 1):
-        # single-process run: nothing to initialize
+    if num_processes == 1:
         _initialized = True
         return 0
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        # no-arg call uses the TPU environment's auto-detection (the
+        # standard pod-slice path); explicit args override it
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except Exception as e:
+        if coordinator_address is not None or num_processes is not None:
+            raise  # explicit multi-host request must not silently degrade
+        # no pod environment detected: single-process fallback
+        import warnings
+
+        warnings.warn(f"jax.distributed auto-init unavailable ({e!r}); "
+                      f"continuing single-process")
     _initialized = True
     return jax.process_index()
 

@@ -58,7 +58,9 @@ class EmbeddingIndex:
             from gcn_song_embeddings_tpu.ops.quantize import quantize_rows
 
             self.q_values, self.q_scales = quantize_rows(jnp.asarray(unit))
-            self.unit = jnp.asarray(unit)  # queries still come from f32 rows
+            # query rows stay HOST-side numpy: keeping the full f32 matrix
+            # in HBM next to the int8 table would defeat the 4x saving
+            self.unit = unit
         else:
             self.unit = jnp.asarray(unit)
         self.n, self.dim = emb.shape
@@ -80,8 +82,12 @@ class EmbeddingIndex:
             from gcn_song_embeddings_tpu.ops.quantize import int8_topk
 
             w, n = int8_topk(self.q_values, self.q_scales,
-                             self.unit[jnp.int32(row)][None, :], k + 1)
-            w, n = w[0, 1:], n[0, 1:]
+                             jnp.asarray(self.unit[row][None, :]), k + 2)
+            w, n = np.asarray(w[0]), np.asarray(n[0])
+            # quantization noise can demote the query below a near-dup, so
+            # filter self by id instead of blindly dropping slot 0
+            keep = n != row
+            w, n = w[keep][:k], n[keep][:k]
         else:
             w, n = _query_topk(self.unit, jnp.int32(row), k)
         out = []

@@ -57,8 +57,15 @@ def main() -> None:
 
     with timer.phase("synth"):
         ds_path = os.path.join(work, "ds")
-        if os.path.isfile(os.path.join(ds_path, "graph.json")):
-            ds = ds_path  # reuse an already-generated dataset in work-dir
+        complete = all(
+            os.path.isfile(os.path.join(ds_path, f)) for f in
+            ("graph.json", "tracks.json", "collections.json",
+             "positives.json", "features.npy"))
+        if complete:
+            # reuse only a COMPLETE dataset (a crashed generation leaves
+            # partial files); scale args are ignored on reuse
+            log(f"reusing existing dataset in {ds_path}")
+            ds = ds_path
         elif args.tracks >= 200_000:
             ds = make_synthetic_dataset_large(
                 ds_path, n_tracks=args.tracks,
