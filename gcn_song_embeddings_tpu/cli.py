@@ -114,7 +114,12 @@ def cmd_prepare(args) -> None:
 
 
 def cmd_train(args) -> None:
-    """Train PinSage (reference train_pinsage, dashboard.py:48-79)."""
+    """Train PinSage (reference train_pinsage, dashboard.py:48-79).
+
+    --mesh-graph N > 0 trains on ALL visible devices with a
+    (dp, N) mesh via ShardedTrainer (node tables row-sharded)."""
+    import numpy as np
+
     from gcn_song_embeddings_tpu.data.device import DeviceGraph
     from gcn_song_embeddings_tpu.train.trainer import PinSageTrainer
 
@@ -124,6 +129,31 @@ def cmd_train(args) -> None:
     dg = DeviceGraph.from_graph(graph)
     train_pos, _ = graph.load_positives_split(_positives_path(args))
     cfg = _run_config(args)
+
+    if getattr(args, "mesh_graph", 0):
+        from gcn_song_embeddings_tpu.ops.ppr import precompute_neighborhoods
+        from gcn_song_embeddings_tpu.parallel.mesh import make_mesh
+        from gcn_song_embeddings_tpu.parallel.train_step import (
+            ShardedTrainer,
+        )
+
+        nbhds = precompute_neighborhoods(dg, cfg.walk, graph.nbhds_path,
+                                         seed=cfg.train.seed, verbose=True)
+        mesh = make_mesh(n_graph=args.mesh_graph)
+        trainer = ShardedTrainer(mesh, cfg, graph.n_items, graph.features,
+                                 nbhds, train_pos)
+        run_dir = os.path.join(args.run_dir, cfg.run_name)
+        os.makedirs(run_dir, exist_ok=True)
+        state_path = os.path.join(run_dir, "state.npz")
+        if not args.no_resume:
+            trainer.load(state_path)
+        trainer.train_epochs(verbose=True)
+        trainer.save(state_path)
+        path = os.path.join(run_dir, "emb.npy")
+        np.save(path, trainer.embed())
+        print(f"[sharded mesh {dict(mesh.shape)}] embeddings -> {path}")
+        return
+
     trainer = PinSageTrainer(dg, graph.n_items, graph.features, train_pos,
                              cfg=cfg, base_run_dir=args.run_dir,
                              nbhds_path=graph.nbhds_path,
@@ -266,6 +296,9 @@ def main(argv=None) -> None:
             sp.add_argument("--gen-positives", action="store_true")
         if verb in ("train", "all"):
             sp.add_argument("--no-resume", action="store_true")
+            sp.add_argument("--mesh-graph", type=int, default=0,
+                            help="train sharded on all devices with this "
+                                 "graph-axis size (0 = single device)")
         if verb in ("eval", "all"):
             sp.add_argument("--eval-dir", default=None)
             sp.add_argument("--k", type=int, default=1000)

@@ -82,8 +82,11 @@ def plot_embedding_projection(emb: np.ndarray, out_path: str,
     _, _, vt = np.linalg.svd(x, full_matrices=False)
     proj = x @ vt[:2].T
     plt.figure(figsize=(6, 6))
-    c = None if labels is None else np.asarray(labels)[idx]
-    plt.scatter(proj[:, 0], proj[:, 1], s=3, c=c, cmap="tab20", alpha=0.6)
+    if labels is None:
+        plt.scatter(proj[:, 0], proj[:, 1], s=3, alpha=0.6)
+    else:
+        plt.scatter(proj[:, 0], proj[:, 1], s=3,
+                    c=np.asarray(labels)[idx], cmap="tab20", alpha=0.6)
     plt.title(f"embedding PCA projection (n={len(idx)})")
     plt.tight_layout()
     plt.savefig(out_path, dpi=120)

@@ -80,3 +80,17 @@ def test_grid_search(cli_dataset, tmp_path):
     assert os.path.isfile(out_path)
     # run dirs named like the reference (grid_search.py:20)
     assert os.path.isdir(str(tmp_path / "runs_gs" / "gridsearch#0"))
+
+
+def test_cli_sharded_train(cli_dataset, tmp_path):
+    run_dir = str(tmp_path / "runs_sh")
+    cli_main(["train", "--dataset", cli_dataset, "--run-dir", run_dir,
+              "--run-name", "sh1", "--mesh-graph", "2",
+              "--set", "train.epochs=1",
+              "--set", "train.batches_per_epoch=10",
+              "--set", "train.batch_size=32",
+              "--set", "walk.n_hops=100",
+              "--set", "walk.batch_walkers=512"])
+    emb = np.load(os.path.join(run_dir, "sh1", "emb.npy"))
+    assert emb.shape == (300, 128)
+    assert os.path.isfile(os.path.join(run_dir, "sh1", "state.npz"))
