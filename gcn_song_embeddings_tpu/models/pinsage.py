@@ -81,6 +81,36 @@ def init_pinsage(key: jax.Array, n_layers: int, in_dim: int, hidden_dim: int,
                          G1_b=jnp.full((out_dim,), bias_init, dtype), G2_w=g2)
 
 
+def pack_nbhds(nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
+               T: int) -> jnp.ndarray:
+    """Pack the top-T (weights, nodes) neighborhood columns into ONE
+    [N, 2T] int32 table (f32 weights bitcast to int32).
+
+    The B=128 train step is kernel-latency-bound on TPU (each forward level
+    otherwise issues two separate row gathers); one packed gather per level
+    measured 0.24 -> 0.21 ms/batch on v5e.  On the sharded path the win is
+    bigger still: one collective gather with a 2T-int32 payload replaces two
+    full-row-width collectives (parallel/train_step.py).
+    """
+    w = jax.lax.bitcast_convert_type(
+        nbhd_weights[:, :T].astype(jnp.float32), jnp.int32)
+    return jnp.concatenate([w, nbhd_nodes[:, :T].astype(jnp.int32)], axis=1)
+
+
+def unpack_nbhd_rows(rows: jnp.ndarray, T: int
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of pack_nbhds for gathered rows [m, 2T] -> (w [m,T], n [m,T])."""
+    return (jax.lax.bitcast_convert_type(rows[:, :T], jnp.float32),
+            rows[:, T:])
+
+
+def packed_nbhd_gather(packed: jnp.ndarray, T: int):
+    """gather_nbhds(ids) closure over a pack_nbhds table (local HBM)."""
+    def gather_nbhds(ids):
+        return unpack_nbhd_rows(packed[ids], T)
+    return gather_nbhds
+
+
 def conv_apply(p: ConvParams, h_self: jnp.ndarray, h_nb: jnp.ndarray,
                nb_w: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     """One PinSage convolution (reference ConvLayer.forward,
@@ -163,14 +193,9 @@ def pinsage_forward(params: PinSageParams, features: jnp.ndarray,
         like `relevant_nodes_per_layer_precomp` (pinsage_model.py:156-168).
       nodeset: [B] int32 item ids.
     """
-    def gather_features(ids):
-        return features[ids]
-
-    def gather_nbhds(ids):
-        return (nbhd_weights[ids, :T].astype(jnp.float32),
-                nbhd_nodes[ids, :T].astype(jnp.int32))
-
-    return forward_with_gather(params, gather_features, gather_nbhds,
+    packed = pack_nbhds(nbhd_weights, nbhd_nodes, T)
+    return forward_with_gather(params, lambda ids: features[ids],
+                               packed_nbhd_gather(packed, T),
                                nodeset, n_layers, T)
 
 
@@ -183,15 +208,13 @@ def _embed_blocks(params: PinSageParams, features: jnp.ndarray,
     """Embed `n_blocks` consecutive [batch_size] blocks in one dispatch
     (lax.scan) — amortizes per-dispatch latency over large catalogs."""
     offsets = jnp.arange(batch_size, dtype=jnp.int32)
+    packed = pack_nbhds(nbhd_weights, nbhd_nodes, T)  # once, outside the scan
+    gather_nbhds = packed_nbhd_gather(packed, T)
 
     def block(_, i):
         ids = (start + i * batch_size + offsets) % n_items
         return None, forward_with_gather(
-            params,
-            lambda f: features[f],
-            lambda f: (nbhd_weights[f, :T].astype(jnp.float32),
-                       nbhd_nodes[f, :T].astype(jnp.int32)),
-            ids, n_layers, T)
+            params, lambda f: features[f], gather_nbhds, ids, n_layers, T)
 
     _, outs = jax.lax.scan(block, None,
                            jnp.arange(n_blocks, dtype=jnp.int32))

@@ -35,6 +35,7 @@ from gcn_song_embeddings_tpu.config import RunConfig
 from gcn_song_embeddings_tpu.models.pinsage import (
     forward_with_gather,
     init_pinsage,
+    unpack_nbhd_rows,
 )
 from gcn_song_embeddings_tpu.parallel.gather import sharded_table_gather
 from gcn_song_embeddings_tpu.parallel.mesh import pad_to_multiple
@@ -71,12 +72,23 @@ class ShardedTrainer:
         nb_w[:n_items] = nbhds[0]
         nb_n = np.zeros((n_pad, nbhds[1].shape[1]), dtype=np.int32)
         nb_n[:n_items] = nbhds[1]
+        # Packed top-T (weights|nodes) table (models.pinsage.pack_nbhds
+        # layout): the forward's neighborhood lookup becomes ONE collective
+        # gather with a 2T-int32 payload instead of two full-row-width
+        # gathers riding ICI.  The full-width nb_n stays resident only for
+        # hard-negative rank sampling (ranks up to hn_max > T).
+        T = cfg.model.T
+        packed = np.concatenate(
+            [nb_w[:, :T].astype(np.float32).view(np.int32),
+             nb_n[:, :T]], axis=1)
 
         shard_rows = NamedSharding(mesh, P("graph", None))
         replicate = NamedSharding(mesh, P())
         self.features = jax.device_put(feat, shard_rows)
-        self.nbhd_w = jax.device_put(nb_w, shard_rows)
+        # full-width weights are not needed on device (forward uses the
+        # packed top-T table; hard negatives only need node ids)
         self.nbhd_n = jax.device_put(nb_n, shard_rows)
+        self.nbhd_packed = jax.device_put(packed, shard_rows)
         self.positives = jax.device_put(
             np.asarray(positives, dtype=np.int32), replicate)
 
@@ -99,10 +111,9 @@ class ShardedTrainer:
         def gather_features(ids, feats):
             return sharded_table_gather(feats, ids, "graph")
 
-        def gather_nbhds(ids, nb_w, nb_n):
-            w = sharded_table_gather(nb_w, ids, "graph")[:, :T]
-            n = sharded_table_gather(nb_n, ids, "graph")[:, :T]
-            return w.astype(jnp.float32), n.astype(jnp.int32)
+        def gather_nbhds(ids, packed):
+            rows = sharded_table_gather(packed, ids, "graph")
+            return unpack_nbhd_rows(rows, T)
 
         return gather_features, gather_nbhds
 
@@ -115,7 +126,7 @@ class ShardedTrainer:
         tx = self.tx
         gather_features, gather_nbhds = self._gathers()
 
-        def device_step(carry, key, feats, nb_w, nb_n, positives):
+        def device_step(carry, key, feats, packed, nb_n, positives):
             params, opt_state = carry
             dev = (lax.axis_index("dp") * lax.axis_size("graph")
                    + lax.axis_index("graph"))
@@ -144,7 +155,7 @@ class ShardedTrainer:
                     [batch[:, 0], batch[:, 1], batch[:, 2]])
                 emb = forward_with_gather(
                     p, lambda ids: gather_features(ids, feats),
-                    lambda ids: gather_nbhds(ids, nb_w, nb_n),
+                    lambda ids: gather_nbhds(ids, packed),
                     nodes, mcfg.n_layers, mcfg.T)
                 h_q, h_pos, h_neg = jnp.split(emb, 3, axis=0)
                 # local mean scaled so the psum'd gradient equals the
@@ -164,10 +175,11 @@ class ShardedTrainer:
                            P("graph", None), P(), P()),
                  out_specs=(P(), P(), P()),
                  check_vma=False)
-        def chunk_step(params, opt_state, feats, nb_w, nb_n, positives,
+        def chunk_step(params, opt_state, feats, packed, nb_n, positives,
                        chunk_keys):
             def body(carry, key):
-                return device_step(carry, key, feats, nb_w, nb_n, positives)
+                return device_step(carry, key, feats, packed, nb_n,
+                                   positives)
 
             (params, opt_state), losses = lax.scan(
                 body, (params, opt_state), chunk_keys)
@@ -182,13 +194,13 @@ class ShardedTrainer:
 
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P(), P("graph", None), P("graph", None),
-                           P("graph", None), P(("dp", "graph"))),
+                           P(("dp", "graph"))),
                  out_specs=P(("dp", "graph"), None),
                  check_vma=False)
-        def embed_block(params, feats, nb_w, nb_n, ids):
+        def embed_block(params, feats, packed, ids):
             return forward_with_gather(
                 params, lambda i: gather_features(i, feats),
-                lambda i: gather_nbhds(i, nb_w, nb_n),
+                lambda i: gather_nbhds(i, packed),
                 ids, mcfg.n_layers, mcfg.T)
 
         return jax.jit(embed_block)
@@ -202,7 +214,7 @@ class ShardedTrainer:
                                  chunk_index)
         keys = jax.random.split(key, n_batches)
         self.params, self.opt_state, losses = self._step_fn(
-            self.params, self.opt_state, self.features, self.nbhd_w,
+            self.params, self.opt_state, self.features, self.nbhd_packed,
             self.nbhd_n, self.positives, keys)
         return np.asarray(losses)
 
@@ -252,7 +264,7 @@ class ShardedTrainer:
         for start in range(0, self.n_items, bs):
             ids = (np.arange(start, start + bs, dtype=np.int32)
                    % self.n_items)
-            out = self._embed_fn(self.params, self.features, self.nbhd_w,
-                                 self.nbhd_n, jnp.asarray(ids))
+            out = self._embed_fn(self.params, self.features,
+                                 self.nbhd_packed, jnp.asarray(ids))
             outs.append(np.asarray(out)[: min(bs, self.n_items - start)])
         return np.concatenate(outs, axis=0)

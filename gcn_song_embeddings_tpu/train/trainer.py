@@ -33,7 +33,10 @@ from gcn_song_embeddings_tpu.data.device import DeviceGraph
 from gcn_song_embeddings_tpu.models.pinsage import (
     PinSageParams,
     embed_all,
+    forward_with_gather,
     init_pinsage,
+    pack_nbhds,
+    packed_nbhd_gather,
     pinsage_forward,
 )
 from gcn_song_embeddings_tpu.ops.ppr import precompute_neighborhoods
@@ -89,6 +92,11 @@ def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
     and runs the MXU at its native width)."""
     compute_dtype = jnp.dtype(tcfg.dtype)
     features = features.astype(compute_dtype)
+    # One packed [N, 2T] neighborhood table, built once per chunk dispatch:
+    # each forward level then costs a single row gather (the B=128 step is
+    # kernel-latency-bound; see models.pinsage.pack_nbhds).
+    packed = pack_nbhds(nbhd_w, nbhd_n, mcfg.T)
+    gather_nbhds = packed_nbhd_gather(packed, mcfg.T)
 
     def batch_step(carry, key):
         params, opt_state = carry
@@ -102,8 +110,9 @@ def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
         def loss_fn(p):
             pc = jax.tree.map(lambda x: x.astype(compute_dtype), p)
             nodes = jnp.concatenate([batch[:, 0], batch[:, 1], batch[:, 2]])
-            emb = pinsage_forward(pc, features, nbhd_w, nbhd_n, nodes,
-                                  mcfg.n_layers, mcfg.T).astype(jnp.float32)
+            emb = forward_with_gather(
+                pc, lambda ids: features[ids], gather_nbhds, nodes,
+                mcfg.n_layers, mcfg.T).astype(jnp.float32)
             h_q, h_pos, h_neg = jnp.split(emb, 3, axis=0)
             loss = max_margin_loss(h_q, h_pos, h_neg, tcfg.margin)
             return loss, h_q
@@ -112,15 +121,14 @@ def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
 
-        # Diagnostics (reference pinsage_training.py:200-212).
-        def norm_rows(x):
-            n = jnp.linalg.norm(x, axis=1, keepdims=True)
-            return x / jnp.maximum(n, 1e-12)
-
-        f_q = norm_rows(features[batch[:, 0]])
-        f_pos = norm_rows(features[batch[:, 1]])
-        f_neg = norm_rows(features[batch[:, 2]])
-        node_feat_loss = cosine_triplet_loss(f_q, f_pos, f_neg)
+        # Diagnostics (reference pinsage_training.py:200-212): one fused
+        # [B,3] gather + normalize instead of three.
+        f_rows = features[batch.reshape(-1)].astype(jnp.float32)
+        f_rows = f_rows.reshape(tcfg.batch_size, 3, -1)
+        f_rows = f_rows / jnp.maximum(
+            jnp.linalg.norm(f_rows, axis=-1, keepdims=True), 1e-12)
+        node_feat_loss = cosine_triplet_loss(
+            f_rows[:, 0], f_rows[:, 1], f_rows[:, 2])
         variance = batch_variance(h_q)
         step = _adam_count(opt_state)
         lr = tcfg.lr * tcfg.decay ** (step // tcfg.batches_per_epoch)
