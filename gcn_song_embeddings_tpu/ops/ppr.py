@@ -28,7 +28,11 @@ import numpy as np
 
 from gcn_song_embeddings_tpu.config import WalkConfig
 from gcn_song_embeddings_tpu.data.device import DeviceGraph
-from gcn_song_embeddings_tpu.ops.walks import random_walks
+from gcn_song_embeddings_tpu.ops.walks import (
+    random_walks,
+    walk_tables,
+    walks_from_tables,
+)
 
 
 @partial(jax.jit, static_argnames=("T",))
@@ -51,27 +55,42 @@ def visit_counts_topt(trace: jnp.ndarray, nodeset: jnp.ndarray, T: int
     B, H = trace.shape
     nodeset = nodeset.astype(jnp.int32)
 
+    # Materialize the trace before sorting: when fused with the walk scan's
+    # [H, B] output, XLA otherwise folds the transpose into the sort as a
+    # strided access pattern (measured +15 ms per [8192, 500] block).
+    trace = jax.lax.optimization_barrier(trace)
     s = jnp.sort(trace, axis=1)                                   # [B, H]
     is_start = jnp.concatenate(
         [jnp.ones((B, 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1)
-    run_id = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1    # [B, H]
 
-    seg_sum = jax.vmap(
-        lambda data, seg: jax.ops.segment_sum(data, seg, num_segments=H))
-    counts = seg_sum(jnp.ones_like(s, dtype=jnp.float32), run_id)  # [B, H]
-    # one start per run -> per-run node value (integer segment_sum: no
-    # float round-trip, so ids stay exact beyond 2^24)
-    values = seg_sum(jnp.where(is_start, s, 0), run_id)            # [B, H]
+    # Run lengths WITHOUT scatter ops (TPU scatter is ~100x slower than the
+    # sort itself — measured 81 ms vs 0.9 ms per [8192, 500] block): the
+    # count of the run starting at j is (next run start after j) - j, where
+    # "next start" comes from a reverse cummin over start positions.  Count
+    # mass sits at each run's start position; other positions get weight 0
+    # (their node ids are duplicates — harmless in the zero-weight tail,
+    # same contract as the reference's zero-visit fill).
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
+    aux = jnp.where(is_start, idx, H)
+    next_start = jax.lax.cummin(aux[:, ::-1], axis=1)[:, ::-1]    # >= j
+    next_after = jnp.concatenate(
+        [next_start[:, 1:], jnp.full((B, 1), H, jnp.int32)], axis=1)  # > j
+    counts = jnp.where(is_start, next_after - idx, 0)
+    values = s
 
-    weights = counts / jnp.float32(H)
+    weights = counts.astype(jnp.float32) / jnp.float32(H)
     weights = jnp.where(values == nodeset[:, None], 0.0, weights)  # zero self
     if T > H:
         pad = T - H
         weights = jnp.pad(weights, ((0, 0), (0, pad)))
         values = jnp.pad(values, ((0, 0), (0, pad)))
-    top_w, top_idx = jax.lax.top_k(weights, T)
-    top_nodes = jnp.take_along_axis(values, top_idx, axis=1)
-    return top_w, top_nodes
+    # Descending top-T via one multi-operand sort: lax.top_k +
+    # take_along_axis costs 43 ms per [8192, 500] block on v5e, the stable
+    # pair sort ~1 ms.  Stability keeps top_k's tie order (lowest node id
+    # first, since runs lie in ascending value order).
+    neg_w, top_nodes = jax.lax.sort((-weights, values), dimension=1,
+                                    is_stable=True, num_keys=1)
+    return -neg_w[:, :T], top_nodes[:, :T]
 
 
 @partial(jax.jit, static_argnames=("n_hops", "T"))
@@ -93,11 +112,13 @@ def _neighborhood_sweep_blocks(graph: DeviceGraph, start: jnp.ndarray,
     """`n_blocks` consecutive walk+top-T batches in one dispatch
     (lax.scan) — amortizes per-dispatch latency over large catalogs."""
     offsets = jnp.arange(batch, dtype=jnp.int32)
+    tables = walk_tables(graph)  # packed CSR extents, once per dispatch
 
     def block(_, i):
         nodeset = (start + i * batch + offsets) % n_items
         bkey = jax.random.fold_in(key, i)
-        trace = random_walks(graph, nodeset, n_hops, alpha, bkey)
+        trace = walks_from_tables(tables, graph, nodeset, n_hops, alpha,
+                                  bkey)
         return None, visit_counts_topt(trace, nodeset, T)
 
     _, (w, n) = jax.lax.scan(block, None,

@@ -11,6 +11,11 @@ DGL `g.successors` calls — its #1 hot spot (SURVEY §3.1).  Here the entire
 batch of walkers advances in lockstep inside a single `lax.scan` over hops:
 each hop is two vectorized CSR gathers + threefry PRNG, so the TPU runs
 O(B) walkers per step at HBM-gather throughput with zero host round-trips.
+
+The hop loop is gather-latency-bound, so the CSR row extents are packed:
+a (start, degree) pair lives in one [N, 2] int32 row and costs ONE gather
+instead of two indptr lookups (same trick as models.pinsage.pack_nbhds) —
+4 gathers per two-step hop instead of 6.
 """
 
 from __future__ import annotations
@@ -24,19 +29,51 @@ from jax import lax
 from gcn_song_embeddings_tpu.data.device import DeviceGraph
 
 
-def _uniform_neighbor(indptr: jnp.ndarray, indices: jnp.ndarray,
-                      nodes: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+def walk_tables(graph: DeviceGraph) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed CSR row extents: ([n_items, 2], [n_cols, 2]) int32 rows of
+    (row start, degree) for the i2c and c2i directions.  Build ONCE outside
+    any scan that advances walkers (cheap O(N), but inside a scan body it
+    would re-materialize every step)."""
+    def pack(indptr):
+        return jnp.stack([indptr[:-1], jnp.diff(indptr)], axis=1)
+
+    return pack(graph.i2c_indptr), pack(graph.c2i_indptr)
+
+
+def _uniform_neighbor_packed(extents: jnp.ndarray, indices: jnp.ndarray,
+                             nodes: jnp.ndarray, u: jnp.ndarray
+                             ) -> jnp.ndarray:
     """Pick a uniform random neighbor for each node in `nodes`.
 
-    `u` is uniform [0, 1) per node.  Degree-0 nodes are clamped to their own
-    first slot (the reference would crash on them; datasets guarantee
-    degree >= 1 — see data/synth.py).
+    `extents` is the packed [N, 2] (start, degree) table; `u` is uniform
+    [0, 1) per node.  Degree-0 nodes are clamped to their own first slot
+    (the reference would crash on them; datasets guarantee degree >= 1 —
+    see data/synth.py).
     """
-    start = indptr[nodes]
-    deg = indptr[nodes + 1] - start
+    row = extents[nodes]                       # one gather: [m, 2]
+    start, deg = row[:, 0], row[:, 1]
     offset = jnp.minimum((u * deg.astype(u.dtype)).astype(jnp.int32),
                          jnp.maximum(deg - 1, 0))
     return indices[start + offset]
+
+
+def walks_from_tables(tables: tuple[jnp.ndarray, jnp.ndarray],
+                      graph: DeviceGraph, nodeset: jnp.ndarray, n_hops: int,
+                      alpha: float, key: jax.Array) -> jnp.ndarray:
+    """`random_walks` body over prebuilt packed tables (see walk_tables)."""
+    i2c, c2i = tables
+    nodeset = nodeset.astype(jnp.int32)
+    b = nodeset.shape[0]
+    uniforms = jax.random.uniform(key, (n_hops, b, 3))
+
+    def hop(cur: jnp.ndarray, u: jnp.ndarray):
+        col = _uniform_neighbor_packed(i2c, graph.i2c_indices, cur, u[:, 0])
+        item = _uniform_neighbor_packed(c2i, graph.c2i_indices, col, u[:, 1])
+        nxt = jnp.where(u[:, 2] < alpha, nodeset, item)
+        return nxt, item
+
+    _, trace = lax.scan(hop, nodeset, uniforms)
+    return trace.T  # [B, n_hops]
 
 
 @partial(jax.jit, static_argnames=("n_hops",))
@@ -52,17 +89,5 @@ def random_walks(graph: DeviceGraph, nodeset: jnp.ndarray, n_hops: int,
     which keeps the inner loop at HBM-gather speed instead of paying a
     PRNG invocation per step.
     """
-    nodeset = nodeset.astype(jnp.int32)
-    b = nodeset.shape[0]
-    uniforms = jax.random.uniform(key, (n_hops, b, 3))
-
-    def hop(cur: jnp.ndarray, u: jnp.ndarray):
-        col = _uniform_neighbor(graph.i2c_indptr, graph.i2c_indices, cur,
-                                u[:, 0])
-        item = _uniform_neighbor(graph.c2i_indptr, graph.c2i_indices, col,
-                                 u[:, 1])
-        nxt = jnp.where(u[:, 2] < alpha, nodeset, item)
-        return nxt, item
-
-    _, trace = lax.scan(hop, nodeset, uniforms)
-    return trace.T  # [B, n_hops]
+    return walks_from_tables(walk_tables(graph), graph, nodeset, n_hops,
+                             alpha, key)
