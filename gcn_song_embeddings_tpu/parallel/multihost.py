@@ -6,9 +6,13 @@ runtime first, after which `jax.devices()` spans every host and the same
 (dp, graph) mesh code works unchanged — XLA routes intra-slice collectives
 over ICI and inter-slice traffic over DCN.
 
-This environment has one chip, so this module is exercised only via the
-single-host degenerate path in tests; the API mirrors standard
-jax.distributed usage so real-pod runs need no code changes.
+This environment has one chip, so multi-host behavior is validated by a
+REAL 2-process run in tests/test_parallel.py::test_multihost_two_process_
+training: two OS processes x 4 virtual CPU devices each, joined by
+jax.distributed over gloo CPU collectives into one 8-device global mesh,
+training + embedding through ShardedTrainer with bit-identical results on
+both processes.  The API mirrors standard jax.distributed usage so
+real-pod runs need no code changes.
 """
 
 from __future__ import annotations

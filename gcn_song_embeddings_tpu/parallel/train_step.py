@@ -257,14 +257,23 @@ class ShardedTrainer:
         return True
 
     def embed(self, batch_size: int = 4096) -> np.ndarray:
-        """Sharded all-catalog embedding sweep -> [n_items, out_dim]."""
+        """Sharded all-catalog embedding sweep -> [n_items, out_dim].
+
+        The block output is row-sharded over every device; on a multi-host
+        mesh that spans non-addressable devices, so it is gathered to every
+        process (`process_allgather`) before the host copy."""
         n_dev = self.mesh.shape["dp"] * self.mesh.shape["graph"]
         bs = pad_to_multiple(batch_size, n_dev)
+        multiproc = jax.process_count() > 1
         outs = []
         for start in range(0, self.n_items, bs):
             ids = (np.arange(start, start + bs, dtype=np.int32)
                    % self.n_items)
             out = self._embed_fn(self.params, self.features,
                                  self.nbhd_packed, jnp.asarray(ids))
+            if multiproc:
+                from jax.experimental import multihost_utils
+
+                out = multihost_utils.process_allgather(out, tiled=True)
             outs.append(np.asarray(out)[: min(bs, self.n_items - start)])
         return np.concatenate(outs, axis=0)

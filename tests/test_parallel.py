@@ -5,6 +5,9 @@ equivalence, sharded training convergence behavior, and the graft entry
 points.
 """
 
+import os
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -156,6 +159,38 @@ def test_multihost_degenerate_init():
     mesh = make_global_mesh(n_graph=2)
     assert mesh.shape["graph"] == 2
     assert mesh.shape["dp"] * 2 == len(jax.devices())
+
+
+def test_multihost_two_process_training(tmp_path):
+    """REAL multi-host run: 2 OS processes x 4 virtual CPU devices joined by
+    jax.distributed (gloo CPU collectives) into one 8-device global mesh
+    (the XLA multi-process simulation SURVEY §4 asks for).  Both processes
+    must train, embed, and agree bit-exactly on the result."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    emb0 = np.load(tmp_path / "emb_0.npy")
+    emb1 = np.load(tmp_path / "emb_1.npy")
+    l0 = np.load(tmp_path / "losses_0.npy")
+    l1 = np.load(tmp_path / "losses_1.npy")
+    np.testing.assert_array_equal(emb0, emb1)
+    np.testing.assert_array_equal(l0, l1)
+    assert np.isfinite(emb0).all() and np.isfinite(l0).all()
 
 
 def test_edge_partitioned_walks_distribution(device_graph):
