@@ -202,7 +202,15 @@ def z_normalize(features: np.ndarray, eps: float = 1e-12) -> np.ndarray:
 
 
 def load_feature_dir(features_dir: str, track_ids: Sequence[str]) -> np.ndarray:
-    """Stack per-id feature vectors (``.npy`` preferred, ``.pt`` interop)."""
+    """Stack per-id feature vectors (``.npy`` preferred, ``.pt`` interop).
+
+    Rides the native threaded reader (native/featload.cc) when built — the
+    reference's equivalent is a serial per-file torch.load loop
+    (spotify_graph.py:66-79)."""
+    from gcn_song_embeddings_tpu.native import featload
+
+    if featload.native_available():
+        return featload.load_feature_rows(features_dir, track_ids)
     rows = []
     for tid in track_ids:
         npy = os.path.join(features_dir, tid + ".npy")
