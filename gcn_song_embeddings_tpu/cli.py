@@ -194,6 +194,8 @@ def cmd_eval(args) -> None:
         "ColTrackCfALS": ColTrackCF(algo="als"),
         "ColTrackCfLMF": ColTrackCF(algo="lmf"),
         "GraphSAGE": GraphSAGE(),
+        "GAT": GraphSAGE(layer="gat"),
+        "GCN": GraphSAGE(layer="gcn"),
     }
     if graph.features is not None:
         # mirror _load_graph's resolution order so the Features baseline
