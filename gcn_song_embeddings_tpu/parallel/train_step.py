@@ -37,7 +37,10 @@ from gcn_song_embeddings_tpu.models.pinsage import (
     init_pinsage,
     unpack_nbhd_rows,
 )
-from gcn_song_embeddings_tpu.parallel.gather import sharded_table_gather
+from gcn_song_embeddings_tpu.parallel.gather import (
+    sharded_table_gather,
+    sharded_table_gather_ring,
+)
 from gcn_song_embeddings_tpu.parallel.mesh import pad_to_multiple
 from gcn_song_embeddings_tpu.train.loss import max_margin_loss
 from gcn_song_embeddings_tpu.train.sampler import (
@@ -52,7 +55,12 @@ class ShardedTrainer:
 
     def __init__(self, mesh: Mesh, cfg: RunConfig, n_items: int,
                  features: np.ndarray, nbhds: tuple[np.ndarray, np.ndarray],
-                 positives: np.ndarray):
+                 positives: np.ndarray, gather_impl: str = "psum_scatter"):
+        if gather_impl not in ("psum_scatter", "ring"):
+            raise ValueError(
+                f"gather_impl must be 'psum_scatter' or 'ring', "
+                f"got {gather_impl!r}")
+        self.gather_impl = gather_impl
         self.mesh = mesh
         self.cfg = cfg
         self.n_items = n_items
@@ -107,12 +115,14 @@ class ShardedTrainer:
 
     def _gathers(self):
         T = self.cfg.model.T
+        gather = (sharded_table_gather_ring if self.gather_impl == "ring"
+                  else sharded_table_gather)
 
         def gather_features(ids, feats):
-            return sharded_table_gather(feats, ids, "graph")
+            return gather(feats, ids, "graph")
 
         def gather_nbhds(ids, packed):
-            rows = sharded_table_gather(packed, ids, "graph")
+            rows = gather(packed, ids, "graph")
             return unpack_nbhd_rows(rows, T)
 
         return gather_features, gather_nbhds
@@ -143,7 +153,10 @@ class ShardedTrainer:
             if tcfg.hard_negatives:
                 ranks = jax.random.randint(kr, (b_local,), tcfg.hn_min,
                                            tcfg.hn_max)
-                nbrows = sharded_table_gather(nb_n, pos_batch[:, 0], "graph")
+                nbrows = (sharded_table_gather_ring
+                          if self.gather_impl == "ring"
+                          else sharded_table_gather)(
+                              nb_n, pos_batch[:, 0], "graph")
                 neg = jnp.take_along_axis(
                     nbrows, ranks[:, None], axis=1)[:, 0].astype(jnp.int32)
             else:

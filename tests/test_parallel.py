@@ -250,3 +250,45 @@ def test_partitioned_precompute(device_graph):
             two_hop.update(
                 c2i_idx[c2i_ptr[c]:c2i_ptr[c + 1]].tolist())
         assert int(n[q, 0]) in two_hop
+
+
+def test_ring_gather_matches_psum_scatter():
+    """sharded_table_gather_ring (ppermute pipeline, SURVEY §2.2 overlap
+    design) returns exactly the same rows as the reduce-scatter path."""
+    from gcn_song_embeddings_tpu.parallel.gather import (
+        sharded_table_gather_ring,
+    )
+
+    mesh = make_mesh(n_dp=1, n_graph=8)
+    n, d = 64, 16
+    rng = np.random.default_rng(1)
+    table = rng.normal(size=(n, d)).astype(np.float32)
+    ids = rng.integers(0, n, size=(8, 10)).astype(np.int32)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("graph", None), P("graph", None)),
+             out_specs=P("graph", None), check_vma=False)
+    def gather(table_local, ids_local):
+        return sharded_table_gather_ring(table_local, ids_local[0], "graph")
+
+    got = np.asarray(gather(table, ids.reshape(8, 1, 10))).reshape(-1, d)
+    np.testing.assert_allclose(got, table[ids.reshape(-1)], atol=1e-6)
+
+
+def test_ring_trainer_matches_default():
+    """ShardedTrainer(gather_impl='ring') is bit-equivalent to the
+    psum_scatter default: same PRNG streams, same batches, same math."""
+    mesh = make_mesh(n_dp=2, n_graph=4)
+    feat, nb_w, nb_n, pos = _toy(seed=5)
+    cfg = config_with_overrides(RunConfig(), {
+        "model.in_dim": 32, "model.hidden_dim": 32, "model.out_dim": 16,
+        "train.batch_size": 64, "train.hard_negatives": True,
+        "train.hn_min": 1, "train.hn_max": 6})
+    tr_a = ShardedTrainer(mesh, cfg, feat.shape[0], feat, (nb_w, nb_n), pos)
+    tr_b = ShardedTrainer(mesh, cfg, feat.shape[0], feat, (nb_w, nb_n), pos,
+                          gather_impl="ring")
+    la = np.asarray(tr_a.train_chunk(5))
+    lb = np.asarray(tr_b.train_chunk(5))
+    np.testing.assert_allclose(la, lb, rtol=1e-6)
+    np.testing.assert_allclose(tr_a.embed(batch_size=64),
+                               tr_b.embed(batch_size=64), atol=1e-6)
