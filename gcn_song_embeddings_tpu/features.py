@@ -131,6 +131,36 @@ def _mfcc_batch_jax(clips, fb, dct, window, n_fft: int, hop: int,
     return mfcc.mean(axis=1)                             # [B, n_mfcc]
 
 
+def melspectrogram(clips: np.ndarray, sr: int = SAMPLE_RATE,
+                   n_mels: int = 128, n_fft: int = 2048,
+                   hop: int = 512) -> np.ndarray:
+    """[B, samples] -> [B, n_mels, frames] dB mel-spectrogram "images",
+    min-max normalized to [0, 1] per clip.
+
+    Capability of the reference's `get_melspec`
+    (generate_node_features.py:33-38, 79-86: MelSpectrogram →
+    AmplitudeToDB → minmax).  Framing, the mel projection, and dB all run
+    on device as matmuls/elementwise (one einsum rides the MXU).
+    """
+    import jax.numpy as jnp
+
+    clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
+    fb = jnp.asarray(mel_filterbank(n_mels, n_fft, sr))
+    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
+    n = clips.shape[1]
+    n_frames = 1 + (n - n_fft) // hop
+    idx = (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :])
+    frames = jnp.asarray(clips)[:, idx] * window[None, None, :]
+    spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2   # [B, F, n_fft/2+1]
+    mel = jnp.einsum("bfk,mk->bmf", spec, fb,
+                     preferred_element_type=jnp.float32)  # [B, mel, F]
+    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    db = jnp.maximum(db, db.max(axis=(1, 2), keepdims=True) - 80.0)
+    lo = db.min(axis=(1, 2), keepdims=True)
+    hi = db.max(axis=(1, 2), keepdims=True)
+    return np.asarray((db - lo) / jnp.maximum(hi - lo, 1e-12))
+
+
 class Embedder:
     """Base feature embedder: `embed_batch(clips [B, samples]) -> [B, d]`."""
 

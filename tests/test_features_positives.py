@@ -151,3 +151,21 @@ def test_lfm_catalog_matching():
     assert [(u, t) for u, t, _ in matched] == [(7, "id1"), (7, "id2")]
     pairs = generate_lfm_positives(matched)
     assert pairs == [{"a": "id1", "b": "id2"}]
+
+
+def test_melspectrogram_shape_range_and_tone():
+    """dB+minmax mel 'image' (reference get_melspec capability): output in
+    [0,1]; a pure tone concentrates energy in the matching mel band."""
+    sr = F.SAMPLE_RATE
+    t = np.arange(sr, dtype=np.float32) / sr
+    tone = np.sin(2 * np.pi * 1000.0 * t)
+    noise = np.random.default_rng(0).normal(size=sr).astype(np.float32)
+    out = F.melspectrogram(np.stack([tone, noise]), n_mels=64)
+    assert out.shape[0] == 2 and out.shape[1] == 64
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+    # the tone's hottest mel band corresponds to ~1 kHz, i.e. not band 0
+    # and not the top band, and its spectrum is peakier than noise
+    band = out[0].mean(axis=1).argmax()
+    assert 0 < band < 63
+    peakiness = lambda m: m.mean(axis=1).max() / m.mean()
+    assert peakiness(out[0]) > peakiness(out[1])
