@@ -79,7 +79,8 @@ def resample_linear(y: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
 
 def mel_filterbank(n_mels: int, n_fft: int, sr: int) -> np.ndarray:
-    """Slaney-style triangular mel filterbank [n_mels, n_fft//2 + 1]."""
+    """HTK-style triangular mel filterbank [n_mels, n_fft//2 + 1]
+    (torchaudio's MelSpectrogram default mel scale)."""
     def hz_to_mel(f):
         return 2595.0 * np.log10(1.0 + f / 700.0)
 
@@ -112,19 +113,58 @@ def dct_matrix(n_out: int, n_in: int) -> np.ndarray:
     return mat.astype(np.float32)
 
 
+def _mel_power(clips, fb, window, n_fft: int, hop: int,
+               center: bool = False):
+    """Shared DSP core: [B, samples] -> [B, frames, n_mels] mel power.
+
+    Framing is a gather + reshape, the mel projection is one MXU einsum.
+    `center=True` reflect-pads n_fft//2 each side (torchaudio's default
+    framing), which also makes clips shorter than n_fft well-defined."""
+    import jax.numpy as jnp
+
+    n = clips.shape[1]
+    if center:
+        clips = jnp.pad(clips, ((0, 0), (n_fft // 2, n_fft // 2)),
+                        mode="reflect")
+        n_frames = 1 + n // hop
+    else:
+        n_frames = 1 + (n - n_fft) // hop
+    if n_frames < 1:
+        raise ValueError(
+            f"clip too short: {n} samples < n_fft={n_fft} with center=False "
+            f"(pad the clip, or use center=True framing)")
+    idx = (np.arange(n_frames)[:, None] * hop
+           + np.arange(n_fft)[None, :])
+    frames = clips[:, idx] * window[None, None, :]       # [B, F, n_fft]
+    spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2   # [B, F, n_fft/2+1]
+    return jnp.einsum("bfk,mk->bfm", spec, fb,
+                      preferred_element_type=jnp.float32)
+
+
+def _cached_fb_window(n_mels: int, n_fft: int, sr: int):
+    """Device-resident (filterbank, hann window), cached by config —
+    mel_filterbank is an O(n_mels*n_fft) host loop; rebuild it once, not
+    per batched call (the MFCC Embedder already caches in __init__)."""
+    import jax.numpy as jnp
+
+    key = (n_mels, n_fft, sr)
+    hit = _FB_CACHE.get(key)
+    if hit is None:
+        hit = (jnp.asarray(mel_filterbank(n_mels, n_fft, sr)),
+               jnp.asarray(np.hanning(n_fft).astype(np.float32)))
+        _FB_CACHE[key] = hit
+    return hit
+
+
+_FB_CACHE: dict = {}
+
+
 def _mfcc_batch_jax(clips, fb, dct, window, n_fft: int, hop: int,
                     n_mfcc: int):
     """[B, samples] -> [B, n_mfcc] mean-pooled MFCCs, all on device."""
     import jax.numpy as jnp
 
-    b, n = clips.shape
-    n_frames = 1 + (n - n_fft) // hop
-    idx = (np.arange(n_frames)[:, None] * hop
-           + np.arange(n_fft)[None, :])
-    frames = clips[:, idx] * window[None, None, :]       # [B, F, n_fft]
-    spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2   # [B, F, n_fft/2+1]
-    mel = jnp.einsum("bfk,mk->bfm", spec, fb,
-                     preferred_element_type=jnp.float32)
+    mel = _mel_power(clips, fb, window, n_fft, hop)      # [B, F, n_mels]
     logmel = jnp.log(mel + 1e-10)
     mfcc = jnp.einsum("bfm,cm->bfc", logmel, dct,
                       preferred_element_type=jnp.float32)
@@ -132,30 +172,28 @@ def _mfcc_batch_jax(clips, fb, dct, window, n_fft: int, hop: int,
 
 
 def melspectrogram(clips: np.ndarray, sr: int = SAMPLE_RATE,
-                   n_mels: int = 128, n_fft: int = 2048,
-                   hop: int = 512) -> np.ndarray:
+                   n_mels: int = 64, n_fft: int = 1024,
+                   hop: int = 512, center: bool = True) -> np.ndarray:
     """[B, samples] -> [B, n_mels, frames] dB mel-spectrogram "images",
     min-max normalized to [0, 1] per clip.
 
     Capability of the reference's `get_melspec`
-    (generate_node_features.py:33-38, 79-86: MelSpectrogram →
-    AmplitudeToDB → minmax).  Framing, the mel projection, and dB all run
-    on device as matmuls/elementwise (one einsum rides the MXU).
+    (generate_node_features.py:33-38, 79-86: MelSpectrogram(n_fft=1024,
+    hop=512, n_mels=64) → AmplitudeToDB → minmax); the defaults here match
+    that SPECTROGRAM config, including torchaudio's center-padded framing
+    and its un-clamped dB conversion (AmplitudeToDB top_db=None — padded
+    silence stays at the amin floor and the minmax spreads over the full
+    dynamic range, like the reference).  Framing, the mel projection, and
+    dB all run on device as matmuls/elementwise (one einsum rides the MXU).
     """
     import jax.numpy as jnp
 
     clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
-    fb = jnp.asarray(mel_filterbank(n_mels, n_fft, sr))
-    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
-    n = clips.shape[1]
-    n_frames = 1 + (n - n_fft) // hop
-    idx = (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :])
-    frames = jnp.asarray(clips)[:, idx] * window[None, None, :]
-    spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2   # [B, F, n_fft/2+1]
-    mel = jnp.einsum("bfk,mk->bmf", spec, fb,
-                     preferred_element_type=jnp.float32)  # [B, mel, F]
+    fb, window = _cached_fb_window(n_mels, n_fft, sr)
+    mel = _mel_power(jnp.asarray(clips), fb, window, n_fft, hop,
+                     center=center)
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
-    db = jnp.maximum(db, db.max(axis=(1, 2), keepdims=True) - 80.0)
+    db = jnp.transpose(db, (0, 2, 1))                    # [B, mel, F]
     lo = db.min(axis=(1, 2), keepdims=True)
     hi = db.max(axis=(1, 2), keepdims=True)
     return np.asarray((db - lo) / jnp.maximum(hi - lo, 1e-12))

@@ -169,3 +169,28 @@ def test_melspectrogram_shape_range_and_tone():
     assert 0 < band < 63
     peakiness = lambda m: m.mean(axis=1).max() / m.mean()
     assert peakiness(out[0]) > peakiness(out[1])
+
+
+def test_melspectrogram_reference_config_and_short_clips():
+    """Defaults mirror the reference SPECTROGRAM config
+    (generate_node_features.py:33-38: n_fft=1024, hop=512, n_mels=64,
+    torchaudio center-padded framing): a 30 s clip yields
+    1 + 480000//512 = 938 frames; clips shorter than n_fft still work
+    under centered framing; uncentered framing rejects them clearly."""
+    import pytest
+
+    clip = np.zeros((1, F.CLIP_SAMPLES), dtype=np.float32)
+    clip[0, :100] = 1.0
+    out = F.melspectrogram(clip)
+    assert out.shape == (1, 64, 1 + F.CLIP_SAMPLES // 512)
+
+    short = np.random.default_rng(1).normal(size=(2, 600)).astype(np.float32)
+    out_s = F.melspectrogram(short)          # center=True handles < n_fft
+    assert out_s.shape == (2, 64, 1 + 600 // 512)
+    with pytest.raises(ValueError, match="too short"):
+        F.melspectrogram(short, center=False)
+
+    # config-keyed device cache: same objects returned on a repeat call
+    fb1, w1 = F._cached_fb_window(64, 1024, F.SAMPLE_RATE)
+    fb2, w2 = F._cached_fb_window(64, 1024, F.SAMPLE_RATE)
+    assert fb1 is fb2 and w1 is w2
