@@ -31,6 +31,17 @@ class WalkConfig:
     alpha: float = 0.85          # restart probability applied after every hop
     t_precompute: int = 100      # neighborhood size stored in the cache
     batch_walkers: int = 4096    # walker rows per device sweep batch
+    parallel_chains: int = 1     # split each origin's hop budget across this
+    #                              many lockstep chains (ops/walks.py) — a
+    #                              tuning knob for topologies where the hop
+    #                              loop is under-batched; measured neutral on
+    #                              v5e (gather pipelining already saturates
+    #                              at 4k walkers — RESULTS.md); must divide
+    #                              n_hops; 1 = reference-exact chain
+    sweep_blocks: int = 8        # walker batches scanned per device dispatch
+    #                              in the all-node sweep (amortizes dispatch
+    #                              latency; host copy-out is pipelined
+    #                              against the next dispatch)
 
 
 @dataclass(frozen=True)

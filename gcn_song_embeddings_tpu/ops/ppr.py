@@ -93,22 +93,24 @@ def visit_counts_topt(trace: jnp.ndarray, nodeset: jnp.ndarray, T: int
     return -neg_w[:, :T], top_nodes[:, :T]
 
 
-@partial(jax.jit, static_argnames=("n_hops", "T"))
+@partial(jax.jit, static_argnames=("n_hops", "T", "n_chains"))
 def sample_neighborhood_topt(graph: DeviceGraph, nodeset: jnp.ndarray,
                              n_hops: int, alpha: float, T: int,
-                             key: jax.Array
+                             key: jax.Array, n_chains: int = 1
                              ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Walks + top-T in one jit — reference `sample_neighborhood_topt`
     (pinsage_model.py:103-107)."""
-    trace = random_walks(graph, nodeset, n_hops, alpha, key)
+    trace = random_walks(graph, nodeset, n_hops, alpha, key,
+                         n_chains=n_chains)
     return visit_counts_topt(trace, nodeset, T)
 
 
-@partial(jax.jit, static_argnames=("n_hops", "T", "batch", "n_blocks"))
+@partial(jax.jit, static_argnames=("n_hops", "T", "batch", "n_blocks",
+                                   "n_chains"))
 def _neighborhood_sweep_blocks(graph: DeviceGraph, start: jnp.ndarray,
                                n_items: int, n_hops: int, alpha: float,
                                T: int, key: jax.Array, batch: int,
-                               n_blocks: int):
+                               n_blocks: int, n_chains: int = 1):
     """`n_blocks` consecutive walk+top-T batches in one dispatch
     (lax.scan) — amortizes per-dispatch latency over large catalogs."""
     offsets = jnp.arange(batch, dtype=jnp.int32)
@@ -118,7 +120,7 @@ def _neighborhood_sweep_blocks(graph: DeviceGraph, start: jnp.ndarray,
         nodeset = (start + i * batch + offsets) % n_items
         bkey = jax.random.fold_in(key, i)
         trace = walks_from_tables(tables, graph, nodeset, n_hops, alpha,
-                                  bkey)
+                                  bkey, n_chains=n_chains)
         return None, visit_counts_topt(trace, nodeset, T)
 
     _, (w, n) = jax.lax.scan(block, None,
@@ -145,26 +147,53 @@ def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
         return cached
 
     bs = cfg.batch_walkers
-    n_blocks = max(min(4, -(-n_items // bs)), 1)
+    chains = effective_chains(cfg.n_hops, cfg.parallel_chains)
+    n_blocks = max(min(getattr(cfg, "sweep_blocks", 8),
+                       -(-n_items // bs)), 1)
     stride = bs * n_blocks
     all_w = np.zeros((n_items, T), dtype=np.float32)
     all_n = np.zeros((n_items, T), dtype=np.int32)
     base_key = jax.random.PRNGKey(seed)
 
-    for start in range(0, n_items, stride):
-        stop = min(start + stride, n_items)
-        key = jax.random.fold_in(base_key, start)
-        w, n = _neighborhood_sweep_blocks(
-            graph, jnp.int32(start), n_items, cfg.n_hops, cfg.alpha, T,
-            key, bs, n_blocks)
+    # One-deep software pipeline: JAX dispatch is asynchronous, so the
+    # [stride, T] device->host copy of chunk i-1 can ride under chunk i's
+    # compute instead of serializing after it (3.2 s -> 3.0 s on the
+    # tunneled chip, where a fixed ~2 s round-trip floor dominates; the
+    # on-chip compute for the same 100k x 500-hop sweep is 1.05 s —
+    # RESULTS.md decomposition).
+    def drain(pending):
+        start, stop, w, n = pending
         valid = stop - start
         all_w[start:stop] = np.asarray(w)[:valid]
         all_n[start:stop] = np.asarray(n)[:valid]
         if verbose:
             print(f"neighborhoods: {stop}/{n_items} done")
 
+    pending = None
+    for start in range(0, n_items, stride):
+        stop = min(start + stride, n_items)
+        key = jax.random.fold_in(base_key, start)
+        w, n = _neighborhood_sweep_blocks(
+            graph, jnp.int32(start), n_items, cfg.n_hops, cfg.alpha, T,
+            key, bs, n_blocks, n_chains=chains)
+        if pending is not None:
+            drain(pending)
+        pending = (start, stop, w, n)
+    if pending is not None:
+        drain(pending)
+
     _save_cache(path, all_w, all_n, cfg, seed)
     return all_w, all_n
+
+
+def effective_chains(n_hops: int, parallel_chains: int) -> int:
+    """Largest divisor of `n_hops` that is <= `parallel_chains` (the walk
+    splitter needs equal-length chains; a non-dividing request degrades
+    gracefully instead of erroring on unusual hop counts)."""
+    w = max(1, min(parallel_chains, n_hops))
+    while n_hops % w:
+        w -= 1
+    return w
 
 
 def _cache_meta(cfg: WalkConfig, seed: int) -> tuple[np.ndarray, np.float64]:
@@ -248,7 +277,8 @@ def precompute_neighborhoods_multichip(graph: DeviceGraph, cfg: WalkConfig,
         nodeset = jax.device_put(jnp.asarray(nodeset), shard)
         key = jax.random.fold_in(base_key, start)
         w, n = sample_neighborhood_topt(
-            graph_repl, nodeset, cfg.n_hops, cfg.alpha, T, key)
+            graph_repl, nodeset, cfg.n_hops, cfg.alpha, T, key,
+            n_chains=effective_chains(cfg.n_hops, cfg.parallel_chains))
         valid = stop - start
         all_w[start:stop] = np.asarray(w)[:valid]
         all_n[start:stop] = np.asarray(n)[:valid]

@@ -59,30 +59,61 @@ def _uniform_neighbor_packed(extents: jnp.ndarray, indices: jnp.ndarray,
 
 def walks_from_tables(tables: tuple[jnp.ndarray, jnp.ndarray],
                       graph: DeviceGraph, nodeset: jnp.ndarray, n_hops: int,
-                      alpha: float, key: jax.Array) -> jnp.ndarray:
-    """`random_walks` body over prebuilt packed tables (see walk_tables)."""
+                      alpha: float, key: jax.Array,
+                      n_chains: int = 1) -> jnp.ndarray:
+    """`random_walks` body over prebuilt packed tables (see walk_tables).
+
+    `n_chains > 1` splits each origin's `n_hops` budget across that many
+    LOCKSTEP-PARALLEL chains of n_hops/n_chains hops each (all starting at
+    the origin, independent threefry streams).  The restart structure makes
+    this near-exact: with restart probability `alpha` after every hop, a
+    length-H chain is a bundle of i.i.d. origin-rooted segments of expected
+    length 1/alpha hops, so cutting it into W sub-chains only *forces* a
+    restart at W-1 boundaries where one would have occurred with
+    probability alpha anyway — at alpha=0.85 that perturbs ~(W-1)*0.18
+    of n_hops visits (<1% for W=25, validated by a distribution-distance
+    test).  The payoff is hardware-shaped: the hop loop is HBM-gather-
+    latency-bound, and the chip's gather throughput rises ~3.6x when the
+    row batch grows from 4k to 100k+ (RESULTS.md), while sequential scan
+    steps drop by W.
+    """
     i2c, c2i = tables
     nodeset = nodeset.astype(jnp.int32)
-    b = nodeset.shape[0]
-    uniforms = jax.random.uniform(key, (n_hops, b, 3))
+    if n_chains > 1:
+        if n_hops % n_chains:
+            raise ValueError(f"n_chains={n_chains} must divide "
+                             f"n_hops={n_hops}")
+        origins = jnp.repeat(nodeset, n_chains)
+        hops = n_hops // n_chains
+    else:
+        origins = nodeset
+        hops = n_hops
+    b = origins.shape[0]
+    uniforms = jax.random.uniform(key, (hops, b, 3))
 
     def hop(cur: jnp.ndarray, u: jnp.ndarray):
         col = _uniform_neighbor_packed(i2c, graph.i2c_indices, cur, u[:, 0])
         item = _uniform_neighbor_packed(c2i, graph.c2i_indices, col, u[:, 1])
-        nxt = jnp.where(u[:, 2] < alpha, nodeset, item)
+        nxt = jnp.where(u[:, 2] < alpha, origins, item)
         return nxt, item
 
-    _, trace = lax.scan(hop, nodeset, uniforms)
-    return trace.T  # [B, n_hops]
+    _, trace = lax.scan(hop, origins, uniforms)
+    trace = trace.T                                   # [B*W, hops]
+    if n_chains > 1:
+        trace = trace.reshape(nodeset.shape[0], n_hops)
+    return trace  # [B, n_hops]
 
 
-@partial(jax.jit, static_argnames=("n_hops",))
+@partial(jax.jit, static_argnames=("n_hops", "n_chains"))
 def random_walks(graph: DeviceGraph, nodeset: jnp.ndarray, n_hops: int,
-                 alpha: float, key: jax.Array) -> jnp.ndarray:
+                 alpha: float, key: jax.Array,
+                 n_chains: int = 1) -> jnp.ndarray:
     """Simulate restart walks; returns trace [B, n_hops] of visited item ids.
 
     Matches reference `do_random_walks` (pinsage_model.py:32-53) in
-    distribution: trace[i, j] is the item reached on hop j of walker i.
+    distribution: trace[i, j] is the item reached on hop j of walker i
+    (hop order is permuted when `n_chains > 1`; downstream visit counting
+    is order-blind).
 
     All randomness is generated in ONE vectorized threefry call up front
     ([n_hops, B, 3]); the scan then only does gathers + compares per hop,
@@ -90,4 +121,4 @@ def random_walks(graph: DeviceGraph, nodeset: jnp.ndarray, n_hops: int,
     PRNG invocation per step.
     """
     return walks_from_tables(walk_tables(graph), graph, nodeset, n_hops,
-                             alpha, key)
+                             alpha, key, n_chains=n_chains)

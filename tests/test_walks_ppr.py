@@ -163,3 +163,71 @@ def test_precompute_cache_invalidated_by_walk_params(device_graph, tmp_path):
     # and the artifact now caches the new params
     w3, _ = precompute_neighborhoods(device_graph, cfg2, path, seed=7)
     np.testing.assert_array_equal(w2, w3)
+
+
+def test_parallel_chains_shape_support_and_divisibility(device_graph):
+    """n_chains splits each origin's hop budget into lockstep chains:
+    same [B, n_hops] trace contract, same id support; non-divisors error
+    at the kernel level and degrade gracefully via effective_chains."""
+    import pytest
+
+    from gcn_song_embeddings_tpu.ops.ppr import effective_chains
+
+    key = jax.random.PRNGKey(11)
+    nodeset = jnp.arange(16, dtype=jnp.int32)
+    trace = random_walks(device_graph, nodeset, 60, 0.85, key, n_chains=12)
+    assert trace.shape == (16, 60)
+    t = np.asarray(trace)
+    assert t.min() >= 0 and t.max() < device_graph.n_items
+
+    with pytest.raises(ValueError, match="divide"):
+        random_walks(device_graph, nodeset, 50, 0.85, key, n_chains=7)
+
+    assert effective_chains(500, 20) == 20
+    assert effective_chains(500, 24) == 20   # largest divisor <= request
+    assert effective_chains(513, 20) == 19
+    assert effective_chains(7, 1) == 1
+    assert effective_chains(100, 1000) == 100
+
+
+def test_parallel_chains_restart_support(device_graph):
+    """alpha=1 forces every hop from the origin regardless of chain
+    splitting: trace support stays within the origin's 2-hop set."""
+    origin = 11
+    key = jax.random.PRNGKey(12)
+    nodeset = jnp.full((8,), origin, dtype=jnp.int32)
+    trace = np.asarray(random_walks(device_graph, nodeset, 200, 1.0, key,
+                                    n_chains=10))
+    i2c_ptr = np.asarray(device_graph.i2c_indptr)
+    i2c_idx = np.asarray(device_graph.i2c_indices)
+    c2i_ptr = np.asarray(device_graph.c2i_indptr)
+    c2i_idx = np.asarray(device_graph.c2i_indices)
+    two_hop = set()
+    for c in i2c_idx[i2c_ptr[origin]:i2c_ptr[origin + 1]]:
+        two_hop.update(c2i_idx[c2i_ptr[c]:c2i_ptr[c + 1]].tolist())
+    assert set(np.unique(trace).tolist()) <= two_hop
+
+
+def test_parallel_chains_distribution_matches_single_chain(device_graph):
+    """The chain split is distributionally near-exact (ops/walks.py): the
+    visit distribution from W=20 parallel chains must sit within the same
+    total-variation distance of a single 500*B-hop chain as a second
+    independent single-chain run does (sampling-noise floor)."""
+    n_hops, alpha, origin, B = 2000, 0.85, 7, 64
+    nodeset = jnp.full((B,), origin, dtype=jnp.int32)
+
+    def visit_dist(key, n_chains):
+        tr = np.asarray(random_walks(device_graph, nodeset, n_hops, alpha,
+                                     key, n_chains=n_chains))
+        c = np.bincount(tr.reshape(-1),
+                        minlength=device_graph.n_items).astype(float)
+        return c / c.sum()
+
+    p1 = visit_dist(jax.random.PRNGKey(21), 1)
+    p1b = visit_dist(jax.random.PRNGKey(22), 1)
+    p20 = visit_dist(jax.random.PRNGKey(23), 20)
+
+    tv = lambda a, b: 0.5 * np.abs(a - b).sum()
+    noise_floor = tv(p1, p1b)
+    assert tv(p20, p1) < max(2.5 * noise_floor, 0.05), (
+        f"chained TV {tv(p20, p1):.4f} vs noise floor {noise_floor:.4f}")
