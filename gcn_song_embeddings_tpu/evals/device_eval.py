@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gcn_song_embeddings_tpu.utils.pipeline import lagged
+
 
 @partial(jax.jit, static_argnames=("chunk",))
 def _rank_block(unit_emb: jnp.ndarray, q: jnp.ndarray, pos: jnp.ndarray,
@@ -66,12 +68,17 @@ def rank_eval(embeddings: np.ndarray, test_pairs: np.ndarray,
     n = pairs.shape[0]
 
     ranks = np.empty(n, dtype=np.int64)
-    for start in range(0, n, batch):
+
+    def dispatch(start: int):
         stop = min(start + batch, n)
         blk = np.zeros((batch, 2), dtype=np.int32)
         blk[: stop - start] = pairs[start:stop]
         r = _rank_block(unit, jnp.asarray(blk[:, 0]),
                         jnp.asarray(blk[:, 1]))
+        return start, stop, r
+
+    # One-deep pipeline: copy-out of block i behind block i+1's compute.
+    for start, stop, r in lagged(dispatch(s) for s in range(0, n, batch)):
         ranks[start:stop] = np.asarray(r)[: stop - start]
 
     out = {f"hit@{k}": float((ranks <= k).mean()) for k in hit_ks}

@@ -233,13 +233,20 @@ def embed_all(params: PinSageParams, features: jnp.ndarray,
     at million-track scale per-dispatch latency otherwise dominates."""
     import numpy as np
 
+    from gcn_song_embeddings_tpu.utils.pipeline import lagged
+
     blocks_per_call = max(min(blocks_per_call,
                               -(-n_items // batch_size)), 1)
     outs = []
     stride = batch_size * blocks_per_call
-    for start in range(0, n_items, stride):
-        out = _embed_blocks(params, features, nbhd_weights, nbhd_nodes,
-                            jnp.int32(start), n_items, n_layers, T,
-                            batch_size, blocks_per_call)
+
+    def dispatch(start):
+        return start, _embed_blocks(params, features, nbhd_weights,
+                                    nbhd_nodes, jnp.int32(start), n_items,
+                                    n_layers, T, batch_size, blocks_per_call)
+
+    # One-deep pipeline (utils/pipeline.py): materialize dispatch i-1's
+    # [stride, out_dim] block on the host while dispatch i computes.
+    for start, out in lagged(dispatch(s) for s in range(0, n_items, stride)):
         outs.append(np.asarray(out)[: min(stride, n_items - start)])
     return jnp.asarray(np.concatenate(outs, axis=0))

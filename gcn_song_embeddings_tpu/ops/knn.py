@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from gcn_song_embeddings_tpu.utils.pipeline import lagged
+
 
 @partial(jax.jit, static_argnames=("k",))
 def cosine_topk_block(emb: jnp.ndarray, queries: jnp.ndarray, k: int
@@ -103,14 +105,19 @@ def knn_from_emb(emb, queries=None, k: int = 1000,
 
     w_out = np.empty((nq, k), dtype=np.float32)
     n_out = np.empty((nq, k), dtype=np.int32)
-    for start in range(0, nq, batch_size):
+
+    def dispatch(start: int):
         stop = min(start + batch_size, nq)
         block = np.full((batch_size,), queries[stop - 1], dtype=np.int32)
         block[: stop - start] = queries[start:stop]
-        if streamed:
-            w, nn = cosine_topk_streamed(emb, jnp.asarray(block), k)
-        else:
-            w, nn = cosine_topk_block(emb, jnp.asarray(block), k)
+        kern = cosine_topk_streamed if streamed else cosine_topk_block
+        w, nn = kern(emb, jnp.asarray(block), k)
+        return start, stop, w, nn
+
+    # One-deep pipeline: block i's host copy-out rides behind block i+1's
+    # device compute (utils/pipeline.py).
+    for start, stop, w, nn in lagged(
+            dispatch(s) for s in range(0, nq, batch_size)):
         w_out[start:stop] = np.asarray(w)[: stop - start]
         n_out[start:stop] = np.asarray(nn)[: stop - start]
     return w_out, n_out

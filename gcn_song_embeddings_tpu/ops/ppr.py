@@ -28,6 +28,7 @@ import numpy as np
 
 from gcn_song_embeddings_tpu.config import WalkConfig
 from gcn_song_embeddings_tpu.data.device import DeviceGraph
+from gcn_song_embeddings_tpu.utils.pipeline import lagged
 from gcn_song_embeddings_tpu.ops.walks import (
     random_walks,
     walk_tables,
@@ -155,32 +156,26 @@ def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
     all_n = np.zeros((n_items, T), dtype=np.int32)
     base_key = jax.random.PRNGKey(seed)
 
-    # One-deep software pipeline: JAX dispatch is asynchronous, so the
-    # [stride, T] device->host copy of chunk i-1 can ride under chunk i's
-    # compute instead of serializing after it (3.2 s -> 3.0 s on the
-    # tunneled chip, where a fixed ~2 s round-trip floor dominates; the
-    # on-chip compute for the same 100k x 500-hop sweep is 1.05 s —
-    # RESULTS.md decomposition).
-    def drain(pending):
-        start, stop, w, n = pending
-        valid = stop - start
-        all_w[start:stop] = np.asarray(w)[:valid]
-        all_n[start:stop] = np.asarray(n)[:valid]
-        if verbose:
-            print(f"neighborhoods: {stop}/{n_items} done")
-
-    pending = None
-    for start in range(0, n_items, stride):
+    # One-deep software pipeline (utils/pipeline.py): the [stride, T]
+    # device->host copy of chunk i-1 rides under chunk i's compute instead
+    # of serializing after it (3.2 s -> 3.0 s on the tunneled chip, where a
+    # fixed ~2 s round-trip floor dominates; the on-chip compute for the
+    # same 100k x 500-hop sweep is 1.05 s — RESULTS.md decomposition).
+    def dispatch(start):
         stop = min(start + stride, n_items)
         key = jax.random.fold_in(base_key, start)
         w, n = _neighborhood_sweep_blocks(
             graph, jnp.int32(start), n_items, cfg.n_hops, cfg.alpha, T,
             key, bs, n_blocks, n_chains=chains)
-        if pending is not None:
-            drain(pending)
-        pending = (start, stop, w, n)
-    if pending is not None:
-        drain(pending)
+        return start, stop, w, n
+
+    for start, stop, w, n in lagged(
+            dispatch(s) for s in range(0, n_items, stride)):
+        valid = stop - start
+        all_w[start:stop] = np.asarray(w)[:valid]
+        all_n[start:stop] = np.asarray(n)[:valid]
+        if verbose:
+            print(f"neighborhoods: {stop}/{n_items} done")
 
     _save_cache(path, all_w, all_n, cfg, seed)
     return all_w, all_n

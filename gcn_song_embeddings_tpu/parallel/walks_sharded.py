@@ -39,6 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gcn_song_embeddings_tpu.data.device import DeviceGraph
 from gcn_song_embeddings_tpu.parallel.gather import sharded_table_gather
 from gcn_song_embeddings_tpu.parallel.mesh import pad_to_multiple
+from gcn_song_embeddings_tpu.utils.pipeline import lagged
 
 
 class ShardedGraph(NamedTuple):
@@ -147,28 +148,23 @@ def precompute_neighborhoods_partitioned(graph: DeviceGraph, cfg, mesh: Mesh,
     all_n = np.zeros((n_items, T), dtype=np.int32)
     base_key = jax.random.PRNGKey(seed)
 
-    # One-deep software pipeline (same as ops.ppr.precompute_neighborhoods):
-    # JAX dispatch is asynchronous, so the host copy-out of sweep i-1 rides
-    # behind sweep i's collective walk instead of serializing after it.
-    def drain(pending):
-        start, stop, w, n = pending
-        valid = stop - start
-        all_w[start:stop] = np.asarray(w)[:valid]
-        all_n[start:stop] = np.asarray(n)[:valid]
-        if verbose:
-            print(f"neighborhoods[partitioned]: {stop}/{n_items} done")
-
-    pending = None
-    for start in range(0, n_items, sweep):
+    # One-deep software pipeline (utils/pipeline.py): the host copy-out of
+    # sweep i-1 rides behind sweep i's collective walk instead of
+    # serializing after it.
+    def dispatch(start):
         stop = min(start + sweep, n_items)
         nodeset = np.arange(start, start + sweep, dtype=np.int32) % n_items
         trace = walker(jnp.asarray(nodeset),
                        jax.random.fold_in(base_key, start))
         w, n = visit_counts_topt(trace, jnp.asarray(nodeset), T)
-        if pending is not None:
-            drain(pending)
-        pending = (start, stop, w, n)
-    if pending is not None:
-        drain(pending)
+        return start, stop, w, n
+
+    for start, stop, w, n in lagged(
+            dispatch(s) for s in range(0, n_items, sweep)):
+        valid = stop - start
+        all_w[start:stop] = np.asarray(w)[:valid]
+        all_n[start:stop] = np.asarray(n)[:valid]
+        if verbose:
+            print(f"neighborhoods[partitioned]: {stop}/{n_items} done")
     _save_cache(path, all_w, all_n, cfg, seed)
     return all_w, all_n
