@@ -79,28 +79,32 @@ def resample_linear(y: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
 
 def mel_filterbank(n_mels: int, n_fft: int, sr: int) -> np.ndarray:
-    """HTK-style triangular mel filterbank [n_mels, n_fft//2 + 1]
-    (torchaudio's MelSpectrogram default mel scale)."""
+    """Triangular mel filterbank [n_mels, n_fft//2 + 1] built exactly like
+    torchaudio's `melscale_fbanks` defaults (HTK mel scale, norm=None):
+    filters are triangles in CONTINUOUS frequency over the rfft bin centers
+    `linspace(0, sr/2, n_fft//2 + 1)`, not snapped to integer bins."""
     def hz_to_mel(f):
-        return 2595.0 * np.log10(1.0 + f / 700.0)
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64)
+                                 / 700.0)
 
     def mel_to_hz(m):
         return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
 
-    fmin, fmax = 0.0, sr / 2
-    mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
-    freqs = mel_to_hz(mels)
-    bins = np.floor((n_fft + 1) * freqs / sr).astype(int)
-    fb = np.zeros((n_mels, n_fft // 2 + 1), dtype=np.float32)
-    for m in range(1, n_mels + 1):
-        lo, ctr, hi = bins[m - 1], bins[m], bins[m + 1]
-        for k in range(lo, ctr):
-            if ctr > lo:
-                fb[m - 1, k] = (k - lo) / (ctr - lo)
-        for k in range(ctr, hi):
-            if hi > ctr:
-                fb[m - 1, k] = (hi - k) / (hi - ctr)
-    return fb
+    all_freqs = np.linspace(0.0, sr / 2, n_fft // 2 + 1)
+    f_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2),
+                                  n_mels + 2))
+    f_diff = np.diff(f_pts)                              # [n_mels + 1]
+    slopes = f_pts[None, :] - all_freqs[:, None]         # [n_bins, n_mels+2]
+    down = -slopes[:, :-2] / f_diff[None, :-1]           # rising edge
+    up = slopes[:, 2:] / f_diff[None, 1:]                # falling edge
+    fb = np.maximum(0.0, np.minimum(down, up))           # [n_bins, n_mels]
+    return fb.T.astype(np.float32)
+
+
+def hann_window(n_fft: int) -> np.ndarray:
+    """Periodic Hann window (torch.hann_window default periodic=True;
+    np.hanning is the symmetric variant)."""
+    return np.hanning(n_fft + 1)[:-1].astype(np.float32)
 
 
 def dct_matrix(n_out: int, n_in: int) -> np.ndarray:
@@ -143,15 +147,15 @@ def _mel_power(clips, fb, window, n_fft: int, hop: int,
 
 def _cached_fb_window(n_mels: int, n_fft: int, sr: int):
     """Device-resident (filterbank, hann window), cached by config —
-    mel_filterbank is an O(n_mels*n_fft) host loop; rebuild it once, not
-    per batched call (the MFCC Embedder already caches in __init__)."""
+    built once and kept on device, not rebuilt/re-uploaded per batched
+    call (the MFCC Embedder likewise caches in __init__)."""
     import jax.numpy as jnp
 
     key = (n_mels, n_fft, sr)
     hit = _FB_CACHE.get(key)
     if hit is None:
         hit = (jnp.asarray(mel_filterbank(n_mels, n_fft, sr)),
-               jnp.asarray(np.hanning(n_fft).astype(np.float32)))
+               jnp.asarray(hann_window(n_fft)))
         _FB_CACHE[key] = hit
     return hit
 
@@ -238,7 +242,7 @@ class MFCC(Embedder):
         self.hop = hop
         self._fb = mel_filterbank(n_mels, n_fft, sr)
         self._dct = dct_matrix(n_mfcc, n_mels)
-        self._window = np.hanning(n_fft).astype(np.float32)
+        self._window = hann_window(n_fft)
 
     def embed_batch(self, clips: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp

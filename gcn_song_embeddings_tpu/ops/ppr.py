@@ -149,8 +149,7 @@ def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
 
     bs = cfg.batch_walkers
     chains = effective_chains(cfg.n_hops, cfg.parallel_chains)
-    n_blocks = max(min(getattr(cfg, "sweep_blocks", 8),
-                       -(-n_items // bs)), 1)
+    n_blocks = max(min(cfg.sweep_blocks, -(-n_items // bs)), 1)
     stride = bs * n_blocks
     all_w = np.zeros((n_items, T), dtype=np.float32)
     all_n = np.zeros((n_items, T), dtype=np.int32)
@@ -195,9 +194,12 @@ def _cache_meta(cfg: WalkConfig, seed: int) -> tuple[np.ndarray, np.float64]:
     # seed is deliberately NOT part of the cache key: the artifact is a
     # statistical estimate whose distribution does not depend on the seed
     # (reloading across seeds matches the reference's load-if-present
-    # pragmatics); n_hops/alpha DO change the distribution.
+    # pragmatics); n_hops/alpha — and the chain split, which perturbs the
+    # distribution slightly (ops/walks.py) — DO change it.
     del seed
-    return np.array([cfg.n_hops], dtype=np.int64), np.float64(cfg.alpha)
+    chains = effective_chains(cfg.n_hops, cfg.parallel_chains)
+    return (np.array([cfg.n_hops, chains], dtype=np.int64),
+            np.float64(cfg.alpha))
 
 
 def _save_cache(path, all_w, all_n, cfg, seed) -> None:
@@ -266,14 +268,22 @@ def precompute_neighborhoods_multichip(graph: DeviceGraph, cfg: WalkConfig,
     all_n = np.zeros((n_items, T), dtype=np.int32)
     base_key = jax.random.PRNGKey(seed)
 
-    for start in range(0, n_items, sweep):
+    chains = effective_chains(cfg.n_hops, cfg.parallel_chains)
+
+    # One-deep software pipeline (utils/pipeline.py), same as the
+    # single-chip sweep: drain sweep i-1 while sweep i computes.
+    def dispatch(start):
         stop = min(start + sweep, n_items)
         nodeset = np.arange(start, start + sweep, dtype=np.int32) % n_items
         nodeset = jax.device_put(jnp.asarray(nodeset), shard)
         key = jax.random.fold_in(base_key, start)
         w, n = sample_neighborhood_topt(
             graph_repl, nodeset, cfg.n_hops, cfg.alpha, T, key,
-            n_chains=effective_chains(cfg.n_hops, cfg.parallel_chains))
+            n_chains=chains)
+        return start, stop, w, n
+
+    for start, stop, w, n in lagged(
+            dispatch(s) for s in range(0, n_items, sweep)):
         valid = stop - start
         all_w[start:stop] = np.asarray(w)[:valid]
         all_n[start:stop] = np.asarray(n)[:valid]

@@ -113,10 +113,15 @@ class ShardedTrainer:
 
     # ------------------------------------------------------------ builders
 
+    def _gather_fn(self):
+        """The collective row-gather schedule selected by `gather_impl`
+        (single source of truth for every sharded table lookup)."""
+        return (sharded_table_gather_ring if self.gather_impl == "ring"
+                else sharded_table_gather)
+
     def _gathers(self):
         T = self.cfg.model.T
-        gather = (sharded_table_gather_ring if self.gather_impl == "ring"
-                  else sharded_table_gather)
+        gather = self._gather_fn()
 
         def gather_features(ids, feats):
             return gather(feats, ids, "graph")
@@ -135,6 +140,7 @@ class ShardedTrainer:
         b_local = tcfg.batch_size // n_dev
         tx = self.tx
         gather_features, gather_nbhds = self._gathers()
+        gather_rows = self._gather_fn()
 
         def device_step(carry, key, feats, packed, nb_n, positives):
             params, opt_state = carry
@@ -153,10 +159,7 @@ class ShardedTrainer:
             if tcfg.hard_negatives:
                 ranks = jax.random.randint(kr, (b_local,), tcfg.hn_min,
                                            tcfg.hn_max)
-                nbrows = (sharded_table_gather_ring
-                          if self.gather_impl == "ring"
-                          else sharded_table_gather)(
-                              nb_n, pos_batch[:, 0], "graph")
+                nbrows = gather_rows(nb_n, pos_batch[:, 0], "graph")
                 neg = jnp.take_along_axis(
                     nbrows, ranks[:, None], axis=1)[:, 0].astype(jnp.int32)
             else:

@@ -85,10 +85,19 @@ def _remote_neighbor(off_local, idx_local, nodes, u, axis):
 
 
 def make_sharded_walker(mesh: Mesh, sg: ShardedGraph, n_hops: int,
-                        alpha: float, axis: str = "graph"):
+                        alpha: float, axis: str = "graph",
+                        n_chains: int = 1):
     """Returns jitted walks(nodeset [W], key) -> trace [W, n_hops] with the
-    nodeset sharded over ALL mesh axes and the graph sharded over `axis`."""
+    nodeset sharded over ALL mesh axes and the graph sharded over `axis`.
+
+    `n_chains` splits each origin's hop budget into that many lockstep
+    sub-chains (same near-exact semantics as ops.walks.walks_from_tables);
+    each collective gather carries n_chains x more walker rows while the
+    sequential hop count drops by the same factor."""
     all_axes = tuple(mesh.axis_names)
+    if n_chains > 1 and n_hops % n_chains:
+        raise ValueError(f"n_chains={n_chains} must divide n_hops={n_hops}")
+    hops = n_hops // n_chains if n_chains > 1 else n_hops
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis, None), P(axis, None), P(axis, None),
@@ -97,17 +106,22 @@ def make_sharded_walker(mesh: Mesh, sg: ShardedGraph, n_hops: int,
     def walk(i2c_off, i2c_idx, c2i_off, c2i_idx, nodeset, key):
         dev = lax.axis_index(all_axes)
         key = jax.random.fold_in(key, dev)
-        w = nodeset.shape[0]
-        uniforms = jax.random.uniform(key, (n_hops, w, 3))
+        origins = (jnp.repeat(nodeset, n_chains) if n_chains > 1
+                   else nodeset)
+        w = origins.shape[0]
+        uniforms = jax.random.uniform(key, (hops, w, 3))
 
         def hop(cur, u):
             col = _remote_neighbor(i2c_off, i2c_idx, cur, u[:, 0], axis)
             item = _remote_neighbor(c2i_off, c2i_idx, col, u[:, 1], axis)
-            nxt = jnp.where(u[:, 2] < alpha, nodeset, item)
+            nxt = jnp.where(u[:, 2] < alpha, origins, item)
             return nxt, item
 
-        _, trace = lax.scan(hop, nodeset, uniforms)
-        return trace.T
+        _, trace = lax.scan(hop, origins, uniforms)
+        trace = trace.T                              # [w_local, hops]
+        if n_chains > 1:
+            trace = trace.reshape(nodeset.shape[0], n_hops)
+        return trace
 
     def walks(nodeset: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         return walk(sg.i2c_off, sg.i2c_idx, sg.c2i_off, sg.c2i_idx,
@@ -130,6 +144,7 @@ def precompute_neighborhoods_partitioned(graph: DeviceGraph, cfg, mesh: Mesh,
     from gcn_song_embeddings_tpu.ops.ppr import (
         _load_cache,
         _save_cache,
+        effective_chains,
         visit_counts_topt,
     )
 
@@ -140,7 +155,9 @@ def precompute_neighborhoods_partitioned(graph: DeviceGraph, cfg, mesh: Mesh,
         return cached
 
     sg = shard_graph(graph, mesh)
-    walker = make_sharded_walker(mesh, sg, cfg.n_hops, cfg.alpha)
+    walker = make_sharded_walker(
+        mesh, sg, cfg.n_hops, cfg.alpha,
+        n_chains=effective_chains(cfg.n_hops, cfg.parallel_chains))
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     sweep = pad_to_multiple(cfg.batch_walkers, n_dev)
 

@@ -194,3 +194,36 @@ def test_melspectrogram_reference_config_and_short_clips():
     fb1, w1 = F._cached_fb_window(64, 1024, F.SAMPLE_RATE)
     fb2, w2 = F._cached_fb_window(64, 1024, F.SAMPLE_RATE)
     assert fb1 is fb2 and w1 is w2
+
+
+def test_hann_window_matches_torch_periodic():
+    """torchaudio's MelSpectrogram uses torch.hann_window (periodic);
+    np.hanning is symmetric — the difference is a systematic per-frame
+    spectral bias, so pin parity against torch itself."""
+    import torch
+
+    for n in (16, 400, 1024):
+        got = F.hann_window(n)
+        want = torch.hann_window(n).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-7)
+
+
+def test_mel_filterbank_torchaudio_construction():
+    """melscale_fbanks-style construction: triangles in continuous
+    frequency over the rfft bin grid (HTK scale, norm=None) — each filter
+    is nonnegative, unimodal, and adjacent filters cross."""
+    n_mels, n_fft, sr = 64, 1024, 16000
+    fb = F.mel_filterbank(n_mels, n_fft, sr)
+    assert fb.shape == (n_mels, n_fft // 2 + 1)
+    assert fb.min() >= 0.0
+    # unimodal: strictly rises to the peak then falls (within the support)
+    for m in (0, 10, 40, 63):
+        row = fb[m]
+        sup = np.nonzero(row > 0)[0]
+        assert sup.size > 0
+        peak = row.argmax()
+        assert np.all(np.diff(row[sup[0]:peak + 1]) >= -1e-7)
+        assert np.all(np.diff(row[peak:sup[-1] + 1]) <= 1e-7)
+    # full band coverage: every interior filter overlaps its neighbor
+    for m in range(1, n_mels):
+        assert np.any((fb[m - 1] > 0) & (fb[m] > 0))
