@@ -30,8 +30,11 @@ from gcn_song_embeddings_tpu.config import WalkConfig
 from gcn_song_embeddings_tpu.data.device import DeviceGraph
 from gcn_song_embeddings_tpu.utils.pipeline import lagged
 from gcn_song_embeddings_tpu.ops.walks import (
+    fused_walk_tables,
     random_walks,
+    random_walks_fused,
     walk_tables,
+    walks_from_fused_tables,
     walks_from_tables,
 )
 
@@ -94,34 +97,46 @@ def visit_counts_topt(trace: jnp.ndarray, nodeset: jnp.ndarray, T: int
     return -neg_w[:, :T], top_nodes[:, :T]
 
 
-@partial(jax.jit, static_argnames=("n_hops", "T", "n_chains"))
+@partial(jax.jit, static_argnames=("n_hops", "T", "n_chains", "fused"))
 def sample_neighborhood_topt(graph: DeviceGraph, nodeset: jnp.ndarray,
                              n_hops: int, alpha: float, T: int,
-                             key: jax.Array, n_chains: int = 1
+                             key: jax.Array, n_chains: int = 1,
+                             fused: bool = True
                              ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Walks + top-T in one jit — reference `sample_neighborhood_topt`
-    (pinsage_model.py:103-107)."""
-    trace = random_walks(graph, nodeset, n_hops, alpha, key,
-                         n_chains=n_chains)
+    (pinsage_model.py:103-107).  `fused` selects the extent-joined walker
+    (bit-identical chain, 2.2x faster — ops/walks.py)."""
+    if fused:
+        trace = random_walks_fused(graph, nodeset, n_hops, alpha, key,
+                                   n_chains=n_chains)
+    else:
+        trace = random_walks(graph, nodeset, n_hops, alpha, key,
+                             n_chains=n_chains)
     return visit_counts_topt(trace, nodeset, T)
 
 
 @partial(jax.jit, static_argnames=("n_hops", "T", "batch", "n_blocks",
-                                   "n_chains"))
+                                   "n_chains", "fused"))
 def _neighborhood_sweep_blocks(graph: DeviceGraph, start: jnp.ndarray,
                                n_items: int, n_hops: int, alpha: float,
                                T: int, key: jax.Array, batch: int,
-                               n_blocks: int, n_chains: int = 1):
+                               n_blocks: int, n_chains: int = 1,
+                               fused: bool = True):
     """`n_blocks` consecutive walk+top-T batches in one dispatch
     (lax.scan) — amortizes per-dispatch latency over large catalogs."""
     offsets = jnp.arange(batch, dtype=jnp.int32)
-    tables = walk_tables(graph)  # packed CSR extents, once per dispatch
+    # edge tables built once per dispatch, outside the block scan
+    tables = (fused_walk_tables(graph) if fused else walk_tables(graph))
 
     def block(_, i):
         nodeset = (start + i * batch + offsets) % n_items
         bkey = jax.random.fold_in(key, i)
-        trace = walks_from_tables(tables, graph, nodeset, n_hops, alpha,
-                                  bkey, n_chains=n_chains)
+        if fused:
+            trace = walks_from_fused_tables(tables, nodeset, n_hops,
+                                            alpha, bkey, n_chains=n_chains)
+        else:
+            trace = walks_from_tables(tables, graph, nodeset, n_hops,
+                                      alpha, bkey, n_chains=n_chains)
         return None, visit_counts_topt(trace, nodeset, T)
 
     _, (w, n) = jax.lax.scan(block, None,
@@ -165,7 +180,7 @@ def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
         key = jax.random.fold_in(base_key, start)
         w, n = _neighborhood_sweep_blocks(
             graph, jnp.int32(start), n_items, cfg.n_hops, cfg.alpha, T,
-            key, bs, n_blocks, n_chains=chains)
+            key, bs, n_blocks, n_chains=chains, fused=cfg.fused_tables)
         return start, stop, w, n
 
     for start, stop, w, n in lagged(
@@ -279,7 +294,7 @@ def precompute_neighborhoods_multichip(graph: DeviceGraph, cfg: WalkConfig,
         key = jax.random.fold_in(base_key, start)
         w, n = sample_neighborhood_topt(
             graph_repl, nodeset, cfg.n_hops, cfg.alpha, T, key,
-            n_chains=chains)
+            n_chains=chains, fused=cfg.fused_tables)
         return start, stop, w, n
 
     for start, stop, w, n in lagged(

@@ -104,6 +104,95 @@ def walks_from_tables(tables: tuple[jnp.ndarray, jnp.ndarray],
     return trace  # [B, n_hops]
 
 
+def fused_walk_tables(graph: DeviceGraph
+                      ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Extent-joined edge tables: 2 dependent gathers per two-step hop
+    instead of 4.
+
+    The hop loop is HBM-gather-LATENCY-bound (RESULTS.md: rate flat in
+    batch size), so its speed is set by the length of the dependent-gather
+    chain per hop: extents(cur) -> index -> extents(col) -> index.  The
+    fix is a TPU-native space/latency trade — pre-join each edge target's
+    row extents into the edge array itself:
+
+      i2c_ext [nnz, 2] int32: for edge (item -> col), (c2i start, deg) OF
+          THAT col — the walker never needs the collection id itself;
+      c2i_ext [nnz, 3] int32: for edge (col -> item), (item id, i2c start,
+          i2c deg) — the item id feeds the trace, the extents feed the
+          next hop;
+      origin_ext [n_items, 2]: (i2c start, deg) for restart targets,
+          gathered ONCE per walker batch.
+
+    The walker then carries its current (start, deg) through the scan and
+    each hop costs exactly two dependent gathers.  HBM cost: 8 bytes/edge
+    (i2c) + 12 bytes/edge (c2i) ≈ 2.5x the plain CSR — at dataset_large
+    scale (11.7M directed edges) that is ~120 MB, trivial next to the
+    feature table.  The chain is BIT-IDENTICAL to walks_from_tables under
+    the same key (exactness test in tests/test_walks_ppr.py).
+    """
+    i2c_ptr = graph.i2c_indptr.astype(jnp.int32)
+    c2i_ptr = graph.c2i_indptr.astype(jnp.int32)
+    i2c_deg = jnp.diff(i2c_ptr)
+    c2i_deg = jnp.diff(c2i_ptr)
+    cols = graph.i2c_indices.astype(jnp.int32)
+    items = graph.c2i_indices.astype(jnp.int32)
+    i2c_ext = jnp.stack([c2i_ptr[cols], c2i_deg[cols]], axis=1)
+    c2i_ext = jnp.stack([items, i2c_ptr[items], i2c_deg[items]], axis=1)
+    origin_ext = jnp.stack([i2c_ptr[:-1], i2c_deg], axis=1)
+    return origin_ext, i2c_ext, c2i_ext
+
+
+def walks_from_fused_tables(tables, nodeset: jnp.ndarray, n_hops: int,
+                            alpha: float, key: jax.Array,
+                            n_chains: int = 1) -> jnp.ndarray:
+    """`random_walks` body over fused_walk_tables (2 gathers/hop)."""
+    origin_ext, i2c_ext, c2i_ext = tables
+    nodeset = nodeset.astype(jnp.int32)
+    if n_chains > 1:
+        if n_hops % n_chains:
+            raise ValueError(f"n_chains={n_chains} must divide "
+                             f"n_hops={n_hops}")
+        origins = jnp.repeat(nodeset, n_chains)
+        hops = n_hops // n_chains
+    else:
+        origins = nodeset
+        hops = n_hops
+    b = origins.shape[0]
+    uniforms = jax.random.uniform(key, (hops, b, 3))
+    org_ext = origin_ext[origins]                     # gathered once
+
+    def offset(u, deg):
+        # identical clamp arithmetic to _uniform_neighbor_packed, so the
+        # chain matches the plain-table walker bit-for-bit per key
+        return jnp.minimum((u * deg.astype(u.dtype)).astype(jnp.int32),
+                           jnp.maximum(deg - 1, 0))
+
+    def hop(cur_ext: jnp.ndarray, u: jnp.ndarray):
+        s1, d1 = cur_ext[:, 0], cur_ext[:, 1]
+        col_ext = i2c_ext[s1 + offset(u[:, 0], d1)]   # (c2i start, deg)
+        s2, d2 = col_ext[:, 0], col_ext[:, 1]
+        row = c2i_ext[s2 + offset(u[:, 1], d2)]       # (item, start, deg)
+        item = row[:, 0]
+        nxt = jnp.where(u[:, 2, None] < alpha, org_ext, row[:, 1:3])
+        return nxt, item
+
+    _, trace = lax.scan(hop, org_ext, uniforms)
+    trace = trace.T                                   # [B*W, hops]
+    if n_chains > 1:
+        trace = trace.reshape(nodeset.shape[0], n_hops)
+    return trace
+
+
+@partial(jax.jit, static_argnames=("n_hops", "n_chains"))
+def random_walks_fused(graph: DeviceGraph, nodeset: jnp.ndarray,
+                       n_hops: int, alpha: float, key: jax.Array,
+                       n_chains: int = 1) -> jnp.ndarray:
+    """random_walks over extent-joined tables — same chain, half the
+    dependent gathers per hop (see fused_walk_tables)."""
+    return walks_from_fused_tables(fused_walk_tables(graph), nodeset,
+                                   n_hops, alpha, key, n_chains=n_chains)
+
+
 @partial(jax.jit, static_argnames=("n_hops", "n_chains"))
 def random_walks(graph: DeviceGraph, nodeset: jnp.ndarray, n_hops: int,
                  alpha: float, key: jax.Array,

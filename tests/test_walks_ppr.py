@@ -231,3 +231,19 @@ def test_parallel_chains_distribution_matches_single_chain(device_graph):
     noise_floor = tv(p1, p1b)
     assert tv(p20, p1) < max(2.5 * noise_floor, 0.05), (
         f"chained TV {tv(p20, p1):.4f} vs noise floor {noise_floor:.4f}")
+
+
+def test_fused_tables_walk_bit_identical(device_graph):
+    """The extent-joined walker (2 gathers/hop) must replay the EXACT same
+    chain as the packed-extent walker under the same key — same uniforms,
+    same clamp arithmetic, so traces match element-for-element."""
+    from gcn_song_embeddings_tpu.ops.walks import random_walks_fused
+
+    nodeset = jnp.arange(24, dtype=jnp.int32)
+    for chains in (1, 5):
+        key = jax.random.PRNGKey(31)
+        a = np.asarray(random_walks(device_graph, nodeset, 100, 0.85, key,
+                                    n_chains=chains))
+        b = np.asarray(random_walks_fused(device_graph, nodeset, 100, 0.85,
+                                          key, n_chains=chains))
+        np.testing.assert_array_equal(a, b)
