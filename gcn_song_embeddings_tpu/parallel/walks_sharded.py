@@ -74,6 +74,46 @@ def shard_graph(graph: DeviceGraph, mesh: Mesh, axis: str = "graph"
         n_items=graph.n_items, n_cols=graph.n_cols)
 
 
+class ShardedFusedGraph(NamedTuple):
+    """Extent-joined edge tables, sharded (see ops.walks.fused_walk_tables):
+    each edge row carries its target's (start, degree), so a two-step hop
+    costs TWO collective gathers instead of four — on the partitioned path
+    every eliminated gather is an all_gather/psum_scatter (or ppermute
+    ring) over ICI, so this halves the per-hop collective traffic too."""
+
+    origin_ext: jnp.ndarray  # [n_items_pad, 2] (i2c start, deg), row-sharded
+    i2c_ext: jnp.ndarray     # [nnz_pad, 2] target col's (c2i start, deg)
+    c2i_ext: jnp.ndarray     # [nnz_pad, 3] (item id, i2c start, i2c deg)
+    n_items: int
+    n_cols: int
+
+
+def shard_graph_fused(graph: DeviceGraph, mesh: Mesh, axis: str = "graph"
+                      ) -> ShardedFusedGraph:
+    """Partition extent-joined edge tables across `axis`."""
+    g = mesh.shape[axis]
+    spec = NamedSharding(mesh, P(axis, None))
+
+    i2c_ptr = np.asarray(graph.i2c_indptr, dtype=np.int64)
+    c2i_ptr = np.asarray(graph.c2i_indptr, dtype=np.int64)
+    i2c_deg = np.diff(i2c_ptr)
+    c2i_deg = np.diff(c2i_ptr)
+    cols = np.asarray(graph.i2c_indices, dtype=np.int64)
+    items = np.asarray(graph.c2i_indices, dtype=np.int64)
+
+    def put(arr):
+        arr = arr.astype(np.int32)
+        pad = pad_to_multiple(arr.shape[0], g) - arr.shape[0]
+        return jax.device_put(np.pad(arr, ((0, pad), (0, 0))), spec)
+
+    return ShardedFusedGraph(
+        origin_ext=put(np.stack([i2c_ptr[:-1], i2c_deg], axis=1)),
+        i2c_ext=put(np.stack([c2i_ptr[cols], c2i_deg[cols]], axis=1)),
+        c2i_ext=put(np.stack([items, i2c_ptr[items], i2c_deg[items]],
+                             axis=1)),
+        n_items=graph.n_items, n_cols=graph.n_cols)
+
+
 def _remote_neighbor(off_local, idx_local, nodes, u, axis):
     """Uniform random neighbor via two collective gathers."""
     off = sharded_table_gather(off_local, nodes, axis)      # [W, 2]
@@ -82,6 +122,58 @@ def _remote_neighbor(off_local, idx_local, nodes, u, axis):
                        jnp.maximum(deg - 1, 0))
     nb = sharded_table_gather(idx_local, start + slot, axis)  # [W, 1]
     return nb[:, 0]
+
+
+def _slot(u, deg):
+    return jnp.minimum((u * deg.astype(u.dtype)).astype(jnp.int32),
+                       jnp.maximum(deg - 1, 0))
+
+
+def make_sharded_walker_fused(mesh: Mesh, sg: ShardedFusedGraph,
+                              n_hops: int, alpha: float,
+                              axis: str = "graph", n_chains: int = 1):
+    """Edge-partitioned walker over extent-joined tables: 2 collective
+    gathers per hop (vs 4 in make_sharded_walker), same trace contract."""
+    all_axes = tuple(mesh.axis_names)
+    if n_chains > 1 and n_hops % n_chains:
+        raise ValueError(f"n_chains={n_chains} must divide n_hops={n_hops}")
+    hops = n_hops // n_chains if n_chains > 1 else n_hops
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                       P(all_axes), P()),
+             out_specs=P(all_axes, None), check_vma=False)
+    def walk(origin_ext, i2c_ext, c2i_ext, nodeset, key):
+        dev = lax.axis_index(all_axes)
+        key = jax.random.fold_in(key, dev)
+        origins = (jnp.repeat(nodeset, n_chains) if n_chains > 1
+                   else nodeset)
+        w = origins.shape[0]
+        uniforms = jax.random.uniform(key, (hops, w, 3))
+        org_ext = sharded_table_gather(origin_ext, origins, axis)  # once
+
+        def hop(cur_ext, u):
+            s1, d1 = cur_ext[:, 0], cur_ext[:, 1]
+            col_ext = sharded_table_gather(
+                i2c_ext, s1 + _slot(u[:, 0], d1), axis)     # [W, 2]
+            s2, d2 = col_ext[:, 0], col_ext[:, 1]
+            row = sharded_table_gather(
+                c2i_ext, s2 + _slot(u[:, 1], d2), axis)     # [W, 3]
+            item = row[:, 0]
+            nxt = jnp.where(u[:, 2, None] < alpha, org_ext, row[:, 1:3])
+            return nxt, item
+
+        _, trace = lax.scan(hop, org_ext, uniforms)
+        trace = trace.T
+        if n_chains > 1:
+            trace = trace.reshape(nodeset.shape[0], n_hops)
+        return trace
+
+    def walks(nodeset: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        return walk(sg.origin_ext, sg.i2c_ext, sg.c2i_ext,
+                    nodeset.astype(jnp.int32), key)
+
+    return walks
 
 
 def make_sharded_walker(mesh: Mesh, sg: ShardedGraph, n_hops: int,
@@ -154,10 +246,15 @@ def precompute_neighborhoods_partitioned(graph: DeviceGraph, cfg, mesh: Mesh,
     if cached is not None:
         return cached
 
-    sg = shard_graph(graph, mesh)
-    walker = make_sharded_walker(
-        mesh, sg, cfg.n_hops, cfg.alpha,
-        n_chains=effective_chains(cfg.n_hops, cfg.parallel_chains))
+    chains = effective_chains(cfg.n_hops, cfg.parallel_chains)
+    if cfg.fused_tables:
+        walker = make_sharded_walker_fused(
+            mesh, shard_graph_fused(graph, mesh), cfg.n_hops, cfg.alpha,
+            n_chains=chains)
+    else:
+        walker = make_sharded_walker(mesh, shard_graph(graph, mesh),
+                                     cfg.n_hops, cfg.alpha,
+                                     n_chains=chains)
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     sweep = pad_to_multiple(cfg.batch_walkers, n_dev)
 

@@ -292,3 +292,25 @@ def test_ring_trainer_matches_default():
     np.testing.assert_allclose(la, lb, rtol=1e-6)
     np.testing.assert_allclose(tr_a.embed(batch_size=64),
                                tr_b.embed(batch_size=64), atol=1e-6)
+
+
+def test_fused_sharded_walker_bit_identical_to_plain(device_graph):
+    """The extent-joined partitioned walker (2 collective gathers/hop)
+    must replay the EXACT chain of the plain partitioned walker under the
+    same key — same uniforms, same slot arithmetic."""
+    from gcn_song_embeddings_tpu.parallel.walks_sharded import (
+        make_sharded_walker,
+        make_sharded_walker_fused,
+        shard_graph,
+        shard_graph_fused,
+    )
+
+    mesh = make_mesh(n_dp=2, n_graph=4)
+    plain = make_sharded_walker(mesh, shard_graph(device_graph, mesh),
+                                120, 0.85)
+    fused = make_sharded_walker_fused(
+        mesh, shard_graph_fused(device_graph, mesh), 120, 0.85)
+    nodeset = jnp.arange(32, dtype=jnp.int32)
+    key = jax.random.PRNGKey(5)
+    np.testing.assert_array_equal(np.asarray(plain(nodeset, key)),
+                                  np.asarray(fused(nodeset, key)))
