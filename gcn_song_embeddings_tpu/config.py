@@ -38,7 +38,7 @@ class WalkConfig:
     #                              v5e (gather pipelining already saturates
     #                              at 4k walkers — RESULTS.md); must divide
     #                              n_hops; 1 = reference-exact chain
-    sweep_blocks: int = 8        # walker batches scanned per device dispatch
+    sweep_blocks: int = 32       # walker batches scanned per device dispatch
     #                              in the all-node sweep (amortizes dispatch
     #                              latency; host copy-out is pipelined
     #                              against the next dispatch)
