@@ -247,3 +247,34 @@ def test_fused_tables_walk_bit_identical(device_graph):
         b = np.asarray(random_walks_fused(device_graph, nodeset, 100, 0.85,
                                           key, n_chains=chains))
         np.testing.assert_array_equal(a, b)
+
+
+def test_precompute_cache_invalidated_by_parallel_chains(device_graph,
+                                                         tmp_path):
+    """Chain splitting perturbs the visit distribution, so the artifact
+    cache must not be served across parallel_chains settings."""
+    path = str(tmp_path / "nb.npz")
+    cfg1 = WalkConfig(n_hops=100, t_precompute=4, batch_walkers=64,
+                      parallel_chains=1)
+    w1, _ = precompute_neighborhoods(device_graph, cfg1, path, seed=0)
+    cfg2 = WalkConfig(n_hops=100, t_precompute=4, batch_walkers=64,
+                      parallel_chains=10)
+    w2, _ = precompute_neighborhoods(device_graph, cfg2, path, seed=0)
+    # distinct chain structure + fresh sampling -> arrays differ somewhere
+    assert not np.array_equal(w1, w2)
+    # same setting again -> cache hit (byte-identical reload)
+    w2b, _ = precompute_neighborhoods(device_graph, cfg2, path, seed=123)
+    np.testing.assert_array_equal(w2, w2b)
+
+
+def test_sample_neighborhood_fused_flag_identical(device_graph):
+    """fused=True/False walkers replay the same chain per key, so the
+    sampled neighborhoods must match exactly."""
+    nodeset = jnp.arange(12, dtype=jnp.int32)
+    key = jax.random.PRNGKey(9)
+    w_f, n_f = sample_neighborhood_topt(device_graph, nodeset, 200, 0.85,
+                                        8, key, fused=True)
+    w_p, n_p = sample_neighborhood_topt(device_graph, nodeset, 200, 0.85,
+                                        8, key, fused=False)
+    np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w_p))
+    np.testing.assert_array_equal(np.asarray(n_f), np.asarray(n_p))
