@@ -111,10 +111,17 @@ class DatasetCollector:
         return os.path.join(self.save_dir, name)
 
     def _load(self, name: str):
+        """Load with .bak restore: a crash mid-_save leaves a truncated
+        JSON on disk; the backup written just before is the valid state
+        (reference restore protocol, get_data.py:92-121)."""
         p = self._path(name)
-        if os.path.isfile(p):
-            with open(p, encoding="utf-8") as f:
-                return json.load(f)
+        for candidate in (p, p + ".bak"):
+            if os.path.isfile(candidate):
+                try:
+                    with open(candidate, encoding="utf-8") as f:
+                        return json.load(f)
+                except json.JSONDecodeError:
+                    continue
         return {}
 
     def _save(self) -> None:

@@ -215,13 +215,16 @@ def load_feature_dir(features_dir: str, track_ids: Sequence[str]) -> np.ndarray:
     for tid in track_ids:
         npy = os.path.join(features_dir, tid + ".npy")
         if os.path.isfile(npy):
-            rows.append(np.load(npy))
+            # flatten like the native reader: [1, d] row matrices are a
+            # valid reference layout (native/featload.cc)
+            rows.append(np.load(npy).reshape(-1))
             continue
         pt = os.path.join(features_dir, tid + ".pt")
         if os.path.isfile(pt):
             import torch  # interop only; never used in the compute path
 
-            rows.append(torch.load(pt, weights_only=True).numpy())
+            rows.append(torch.load(pt, weights_only=True)
+                        .numpy().reshape(-1))
             continue
         raise FileNotFoundError(f"no feature file for track {tid!r} "
                                 f"in {features_dir}")

@@ -15,6 +15,14 @@ Three generators, all emitting the reference JSON format
     inverted relative to its own comment (SURVEY §7b.8: `delta_t < 3600:
     continue` KEEPS pairs over an hour apart); here the capability is
     implemented as stated — pairs closer than `max_delta_t` are kept.
+
+    The LFM pipeline composes as:
+        iter_lfm_events(LFM-1b_LEs.txt)      # id-coded rows
+        -> resolve_lfm_names(rows, load_lfm_name_tables(lfm_dir))
+        -> match_lfm_events_to_catalog(named_rows, tracks)
+        -> generate_lfm_positives(matched)
+    (LEs carry numeric ids; the reference resolves them through the
+    LFM-1b_tracks/artists/albums sidecars before the catalog join.)
 """
 
 from __future__ import annotations
@@ -112,6 +120,48 @@ def iter_lfm_events(path: str, chunk_rows: int = 1_000_000,
         if i < skip_chunks or (i - skip_chunks) % sample_every:
             continue
         yield chunk.to_numpy()
+
+
+def load_lfm_name_tables(lfm_dir: str) -> tuple[dict, dict, dict]:
+    """id -> name maps from the LFM-1b sidecar files
+    LFM-1b_tracks.txt / _artists.txt / _albums.txt (TSV; reference
+    get_lfm_triplets loads the same three tables,
+    generate_positives_lfm.py:22-28).  Returns
+    (track_names, artist_names, album_names)."""
+    import os
+
+    import pandas as pd
+
+    tr = pd.read_csv(os.path.join(lfm_dir, "LFM-1b_tracks.txt"), sep="\t",
+                     header=None, names=("id", "name", "artist_id"),
+                     index_col=0, on_bad_lines="skip")
+    ar = pd.read_csv(os.path.join(lfm_dir, "LFM-1b_artists.txt"), sep="\t",
+                     header=None, names=("id", "name"), index_col=0,
+                     on_bad_lines="skip")
+    al = pd.read_csv(os.path.join(lfm_dir, "LFM-1b_albums.txt"), sep="\t",
+                     header=None, names=("id", "name", "artist_id"),
+                     index_col=0, on_bad_lines="skip")
+    return (tr["name"].to_dict(), ar["name"].to_dict(),
+            al["name"].to_dict())
+
+
+def resolve_lfm_names(raw_rows: Iterable,
+                      name_tables: tuple[dict, dict, dict]
+                      ) -> Iterable[tuple]:
+    """Map id-coded listening-event rows (user_id, artist_id, album_id,
+    track_id, timestamp — what `iter_lfm_events` yields from
+    LFM-1b_LEs.txt) to name-coded rows (user_id, artist_name, album_name,
+    track_name, timestamp) via the sidecar tables, dropping events whose
+    ids are absent (the reference's try/except around the same lookup,
+    generate_positives_lfm.py:48-57).  The output rows feed
+    `match_lfm_events_to_catalog` with its default column layout."""
+    track_names, artist_names, album_names = name_tables
+    for row in raw_rows:
+        tn = track_names.get(row[3])
+        an = artist_names.get(row[1])
+        if tn is None or an is None:
+            continue
+        yield (row[0], an, album_names.get(row[2], ""), tn, row[4])
 
 
 def generate_lfm_positives(events: Iterable[tuple[int, str, float]],

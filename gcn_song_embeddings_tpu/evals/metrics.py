@@ -64,22 +64,28 @@ def intra_diversity(knn_mat: np.ndarray, test_positives, K: int,
     return 1.0 - total / n
 
 
-def inter_diversity(knn_mat: np.ndarray, test_positives, K: int, N: int,
+def inter_diversity(knn_mat: np.ndarray, test_positives=None, K: int = 100,
                     n_pairs: int = 10000, seed: int = 0) -> float:
     """Mean cosine distance between the one-hot top-K rec sets of random
     query pairs (eval.py:288-312).  For K-sized distinct rec lists the
-    cosine similarity is |intersection| / K."""
+    cosine similarity is |intersection| / K.
+
+    All n_pairs row intersections are computed in ONE searchsorted by
+    lifting each sorted row into its own disjoint value range (row r
+    shifted by r * stride), which keeps the concatenation globally sorted.
+    """
     n = knn_mat.shape[0]
     K = min(K, knn_mat.shape[1])
     rng = np.random.RandomState(seed)
     pairs = rng.randint(0, n, (n_pairs, 2))
-    a = np.sort(knn_mat[pairs[:, 0], :K], axis=1)
-    b = np.sort(knn_mat[pairs[:, 1], :K], axis=1)
-    # sorted-row intersection size via searchsorted
-    inter = np.zeros(n_pairs)
-    for i in range(n_pairs):
-        pos = np.clip(np.searchsorted(a[i], b[i]), 0, K - 1)
-        inter[i] = np.count_nonzero(a[i][pos] == b[i])
+    a = np.sort(knn_mat[pairs[:, 0], :K].astype(np.int64), axis=1)
+    b = np.sort(knn_mat[pairs[:, 1], :K].astype(np.int64), axis=1)
+    stride = np.int64(max(int(a.max()), int(b.max())) + 1)
+    off = np.arange(n_pairs, dtype=np.int64)[:, None] * stride
+    flat_a = (a + off).ravel()
+    flat_b = (b + off).ravel()
+    pos = np.clip(np.searchsorted(flat_a, flat_b), 0, flat_a.size - 1)
+    inter = (flat_a[pos] == flat_b).reshape(n_pairs, K).sum(axis=1)
     sim = inter / K
     return float(np.mean(1.0 - sim))
 

@@ -190,10 +190,15 @@ def export_recommendation_figure(graph, q: int, knn_dict, model_names,
         template = template.replace(f"<method_{m}>", name)
         for i, tr in enumerate(rec_list):
             info = graph.tracks[graph.track_ids[tr]]
-            cover = os.path.join(dir_name, "covers",
-                                 _safe_name(info["name"]) + ".jpg")
-            _copy_track_image(graph.base_dir,
-                              os.path.join(dir_name, "covers"), info, i)
+            fname = _copy_track_image(graph.base_dir,
+                                      os.path.join(dir_name, "covers"),
+                                      info, i)
+            # path RELATIVE to figure.tex's own directory so the figure
+            # compiles from there (not only from the process cwd)
+            cover = (os.path.join("covers", fname) if fname
+                     else os.path.join(
+                         "covers", f"{i:02d}_"
+                         f"{_safe_name(info['name'])}.jpg"))
             template = template.replace(f"<cover_{m}_{i}>", cover)
             template = template.replace(f"<title_{m}_{i}>", info["name"])
             template = template.replace(f"<artist_{m}_{i}>",
@@ -211,18 +216,21 @@ def _safe_name(name: str) -> str:
 
 
 def _copy_track_image(dataset_dir: str, save_dir: str, track_info: dict,
-                      rank: int) -> None:
+                      rank: int) -> Optional[str]:
     """Copy the album cover if present (reference export_track_image,
-    eval.py:576-585; images are optional here)."""
+    eval.py:576-585; images are optional here).  The rank prefixes the
+    filename so same-titled tracks in one list don't overwrite each
+    other's covers.  Returns the written filename, or None."""
     album_id = track_info.get("album_id")
     if not album_id:
-        return
+        return None
     src = os.path.join(dataset_dir, "images", album_id + ".jpg")
     if not os.path.isfile(src):
-        return
+        return None
     os.makedirs(save_dir, exist_ok=True)
-    dst = os.path.join(save_dir, _safe_name(track_info["name"]) + ".jpg")
-    shutil.copy(src, dst)
+    fname = f"{rank:02d}_{_safe_name(track_info['name'])}.jpg"
+    shutil.copy(src, os.path.join(save_dir, fname))
+    return fname
 
 
 def _default_template(n_models: int, n_items: int) -> str:

@@ -49,7 +49,7 @@ def compute_beyond_accuracy_table(knn_dict, test_positives: np.ndarray,
             "intra diversity": M.intra_diversity(
                 knn_mat, test_positives, k, features),
             "inter diversity": M.inter_diversity(
-                knn_mat, test_positives, k, features.shape[0]),
+                knn_mat, test_positives, k),
             "coverage": M.coverage(knn_mat, test_positives, K=100),
             "average degree": M.average_degree(
                 knn_mat, in_degrees, test_positives, k),

@@ -36,19 +36,50 @@ from gcn_song_embeddings_tpu.ops.knn import knn_from_emb
 # ----------------------------------------------------------------- ALS core
 
 
-def _pad_rows(mat: sp.csr_matrix, max_nnz: int | None = None
+def _pad_rows(mat: sp.csr_matrix, max_nnz: int | None = None,
+              cap_percentile: float = 99.5
               ) -> tuple[np.ndarray, np.ndarray]:
-    """CSR rows -> (indices [R, M], values [R, M]) padded with zeros."""
+    """CSR rows -> (indices [R, M], values [R, M]) padded with zeros.
+
+    M defaults to the `cap_percentile` of row nnz rather than the max: a
+    single hub row would otherwise blow the padded block up quadratically
+    (one 50k-nnz row in a 10^6-row matrix = a [10^6, 50k] pad).  Rows
+    longer than M keep their HIGHEST-confidence entries.  The fill itself
+    is vectorized (one fancy-index assignment), not a per-row Python loop.
+    """
     nnz = np.diff(mat.indptr)
-    m = int(max_nnz or (nnz.max() if len(nnz) else 1) or 1)
     rows = mat.shape[0]
+    if max_nnz is not None:
+        m = int(max_nnz)
+    elif nnz.size == 0:
+        m = 1
+    else:
+        m = int(max(min(int(nnz.max()),
+                        int(np.percentile(nnz, cap_percentile))), 1))
     idx = np.zeros((rows, m), dtype=np.int32)
     val = np.zeros((rows, m), dtype=np.float32)
-    for r in range(rows):
-        s, e = mat.indptr[r], mat.indptr[r + 1]
-        take = min(e - s, m)
-        idx[r, :take] = mat.indices[s:s + take]
-        val[r, :take] = mat.data[s:s + take]
+    take = np.minimum(nnz, m)
+
+    # truncated (hub) rows keep their top-confidence entries — reorder
+    # those few rows' slices in place before the vectorized fill
+    indices = mat.indices
+    data = mat.data
+    over = np.nonzero(nnz > m)[0]
+    if over.size:
+        indices = indices.copy()
+        data = data.copy()
+        for r in over:
+            s, e = mat.indptr[r], mat.indptr[r + 1]
+            top = np.argpartition(-data[s:e], m - 1)[:m]
+            indices[s:s + m] = indices[s:e][top]
+            data[s:s + m] = data[s:e][top]
+
+    row_ids = np.repeat(np.arange(rows), take)
+    col_pos = (np.arange(take.sum(), dtype=np.int64)
+               - np.repeat(np.cumsum(take) - take, take))
+    src = np.repeat(mat.indptr[:-1], take) + col_pos
+    idx[row_ids, col_pos] = indices[src]
+    val[row_ids, col_pos] = data[src]
     return idx, val
 
 

@@ -43,8 +43,25 @@ class Random(PredictionModel):
         rng = np.random.default_rng(
             [self.seed, int(nodeset[0]) if len(nodeset) else 0,
              len(nodeset)])
-        nodes = np.stack([rng.permutation(self.n)[:k]
-                          for _ in range(len(nodeset))])
+        nq = len(nodeset)
+        if k * 4 >= self.n:
+            # dense catalogs: per-query permutations are cheap and exact
+            nodes = np.stack([rng.permutation(self.n)[:k]
+                              for _ in range(nq)])
+        else:
+            # k << n: full per-query permutations would make the
+            # harness's all-catalog sweep O(N^2); sample batched and
+            # de-collide within each row by Gumbel-top-k over sampled
+            # keys (distinct uniform draws per row, O(nq * k log k))
+            cand = rng.integers(0, self.n, size=(nq, 4 * k))
+            # drop duplicates inside a row by ranking unique-ified keys
+            nodes = np.empty((nq, k), dtype=np.int64)
+            for i in range(nq):
+                u = np.unique(cand[i])
+                if u.size < k:  # astronomically unlikely at k << n
+                    u = np.unique(np.concatenate(
+                        [u, rng.integers(0, self.n, 4 * k)]))
+                nodes[i] = rng.permutation(u)[:k]
         return np.ones_like(nodes, dtype=np.float32), nodes.astype(np.int32)
 
 

@@ -51,6 +51,14 @@ def load_edges(graph_path: str, index_map: Mapping[str, int]
     if lib is None:
         return _load_edges_python(graph_path, index_map)
 
+    # The native table maps key i -> index i positionally; that only equals
+    # the Mapping's semantics when its values are exactly 0..n-1 in key
+    # order (true for SongGraph's id map).  Any other mapping (subset,
+    # remapped ids) must take the Python path or indices would silently
+    # point at the wrong nodes.
+    if any(v != i for i, v in enumerate(index_map.values())):
+        return _load_edges_python(graph_path, index_map)
+
     ids = list(index_map.keys())
     arr = (ctypes.c_char_p * len(ids))(*[s.encode("utf-8") for s in ids])
     table = lib.jg_table_new(arr, len(ids))

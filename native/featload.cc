@@ -50,13 +50,18 @@ bool read_npy_vector(const char* path, float* out, int64_t dim) {
     header[hlen] = '\0';
     const char* h = header.data();
 
-    // dtype: accept '<f4' / '<f8' (and '|f4'-style on weird writers)
+    // dtype: accept little-endian / byte-order-free '<f4' / '<f8' /
+    // '|f4' / '=f4' only.  Big-endian ('>f4') would fread byte-swapped
+    // garbage, so it must be REJECTED (the caller falls back to np.load,
+    // which converts correctly).
     const char* descr = std::strstr(h, "'descr'");
     if (!descr) break;
     bool f64;
-    if (std::strstr(descr, "f4")) {
+    if (std::strstr(descr, "<f4") || std::strstr(descr, "|f4") ||
+        std::strstr(descr, "=f4")) {
       f64 = false;
-    } else if (std::strstr(descr, "f8")) {
+    } else if (std::strstr(descr, "<f8") || std::strstr(descr, "|f8") ||
+               std::strstr(descr, "=f8")) {
       f64 = true;
     } else {
       break;

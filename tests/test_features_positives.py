@@ -227,3 +227,35 @@ def test_mel_filterbank_torchaudio_construction():
     # full band coverage: every interior filter overlaps its neighbor
     for m in range(1, n_mels):
         assert np.any((fb[m - 1] > 0) & (fb[m] > 0))
+
+
+def test_lfm_id_resolution_chain(tmp_path):
+    """iter_lfm_events yields id-coded rows; resolve_lfm_names +
+    match_lfm_events_to_catalog must compose into catalog track ids."""
+    from gcn_song_embeddings_tpu.data.positives import (
+        iter_lfm_events,
+        load_lfm_name_tables,
+        resolve_lfm_names,
+    )
+
+    (tmp_path / "LFM-1b_tracks.txt").write_text(
+        "10\tSong One\t7\n11\tOther\t8\n")
+    (tmp_path / "LFM-1b_artists.txt").write_text(
+        "7\tThe Band\n8\tSomeone\n")
+    (tmp_path / "LFM-1b_albums.txt").write_text("3\tAlb\t7\n")
+    # LEs: user, artist-id, album-id, track-id, timestamp
+    (tmp_path / "LFM-1b_LEs.txt").write_text(
+        "1\t7\t3\t10\t100\n1\t8\t3\t11\t200\n1\t9\t3\t99\t300\n")
+
+    tables = load_lfm_name_tables(str(tmp_path))
+    rows = []
+    for chunk in iter_lfm_events(str(tmp_path / "LFM-1b_LEs.txt")):
+        rows.extend(chunk.tolist())
+    named = list(resolve_lfm_names(rows, tables))
+    assert named == [(1, "The Band", "Alb", "Song One", 100),
+                     (1, "Someone", "Alb", "Other", 200)]  # id 99 dropped
+    tracks = {"id1": {"name": "Song One", "artist": "The Band"},
+              "id2": {"name": "Other", "artist": "Someone"}}
+    matched = match_lfm_events_to_catalog(named, tracks)
+    pairs = generate_lfm_positives(matched)
+    assert pairs == [{"a": "id1", "b": "id2"}]

@@ -95,15 +95,20 @@ def test_intra_diversity_bounds_and_identical_lists():
 
 
 def test_inter_diversity_extremes():
-    n, K, N = 40, 5, 50
+    n, K = 40, 5
     same = np.tile(np.arange(K), (n, 1))
-    assert abs(M.inter_diversity(same, None, K, N, n_pairs=200)) < 1e-9
+    assert abs(M.inter_diversity(same, None, K, n_pairs=200)) < 1e-9
     # disjoint halves -> sampled pairs from different halves have distance 1
     a = np.tile(np.arange(K), (n // 2, 1))
     b = np.tile(np.arange(K, 2 * K), (n // 2, 1))
     disjoint = np.concatenate([a, b], 0)
-    d = M.inter_diversity(disjoint, None, K, N, n_pairs=2000, seed=0)
+    d = M.inter_diversity(disjoint, None, K, n_pairs=2000, seed=0)
     assert 0.3 < d < 0.7  # ~half the sampled pairs cross halves
+    # partial overlap: rows share exactly 2 of 5 entries -> distance 0.6
+    c = np.tile(np.arange(K), (n, 1))
+    c[1::2, 2:] += 100  # odd rows differ in 3 of 5 slots
+    d2 = M.inter_diversity(c, None, K, n_pairs=4000, seed=1)
+    assert 0.25 < d2 < 0.35  # ~half the pairs mixed: mean ≈ 0.5 * 0.6
 
 
 def test_average_degree_and_degree_dist():

@@ -155,3 +155,46 @@ def test_random_baseline_varies_across_batches(graph):
     _, n1 = m.knn(np.arange(0, 8), 10)
     _, n2 = m.knn(np.arange(8, 16), 10)
     assert not np.array_equal(n1, n2)
+
+
+def test_pad_rows_vectorized_and_hub_capped():
+    import scipy.sparse as sp
+
+    from gcn_song_embeddings_tpu.models.baselines.mf import _pad_rows
+
+    rows = [
+        ([0, 2, 5], [1.0, 3.0, 2.0]),
+        ([1], [9.0]),
+        ([], []),
+        ([0, 1, 2, 3, 4, 5, 6, 7], [1, 8, 2, 7, 3, 6, 4, 5]),  # hub
+    ]
+    indptr = np.cumsum([0] + [len(r[0]) for r in rows])
+    mat = sp.csr_matrix(
+        (np.concatenate([r[1] for r in rows]).astype(np.float32),
+         np.concatenate([r[0] for r in rows]).astype(np.int32),
+         indptr), shape=(4, 8))
+
+    # exact (max_nnz=max row) keeps everything
+    idx, val = _pad_rows(mat, max_nnz=8)
+    assert idx.shape == (4, 8)
+    np.testing.assert_array_equal(idx[0, :3], [0, 2, 5])
+    np.testing.assert_array_equal(val[1, :1], [9.0])
+    assert val[2].sum() == 0
+
+    # capped: hub row keeps its top-3 confidences (8, 7, 6)
+    idx3, val3 = _pad_rows(mat, max_nnz=3)
+    assert idx3.shape == (4, 3)
+    assert set(val3[3].tolist()) == {8.0, 7.0, 6.0}
+    np.testing.assert_array_equal(np.sort(idx3[3]), [1, 3, 5])
+
+
+def test_random_baseline_distinct_and_fast():
+    from gcn_song_embeddings_tpu.models.baselines.simple import Random
+
+    r = Random(seed=3)
+    r.train(None, list(range(50000)), None, None, None)
+    w, n = r.knn(np.arange(64), k=100)
+    assert n.shape == (64, 100)
+    for row in n:
+        assert len(set(row.tolist())) == 100        # distinct within a row
+    assert n.max() < 50000 and n.min() >= 0
