@@ -27,6 +27,22 @@ import numpy as np
 from gcn_song_embeddings_tpu.utils.pipeline import lagged
 
 
+@partial(jax.jit, static_argnames=("batch", "n_blocks"))
+def _rank_blocks(unit_emb: jnp.ndarray, q: jnp.ndarray, pos: jnp.ndarray,
+                 batch: int, n_blocks: int) -> jnp.ndarray:
+    """`n_blocks` consecutive [batch]-pair rank blocks in ONE dispatch
+    (lax.scan over _rank_block) — amortizes tunnel latency."""
+    def block(_, i):
+        s = i * batch
+        return None, _rank_block(
+            unit_emb, jax.lax.dynamic_slice_in_dim(q, s, batch),
+            jax.lax.dynamic_slice_in_dim(pos, s, batch))
+
+    _, out = jax.lax.scan(block, None,
+                          jnp.arange(n_blocks, dtype=jnp.int32))
+    return out.reshape(n_blocks * batch)
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def _rank_block(unit_emb: jnp.ndarray, q: jnp.ndarray, pos: jnp.ndarray,
                 chunk: int = 65536) -> jnp.ndarray:
@@ -69,16 +85,22 @@ def rank_eval(embeddings: np.ndarray, test_pairs: np.ndarray,
 
     ranks = np.empty(n, dtype=np.int64)
 
+    # `blocks_per_call` pair-blocks scanned per dispatch (the per-dispatch
+    # tunnel round-trip otherwise dominates at 10^5+ pairs — same
+    # structure as the PPR sweep), drained one dispatch late.
+    blocks_per_call = max(min(8, -(-n // batch)), 1)
+    stride = batch * blocks_per_call
+
     def dispatch(start: int):
-        stop = min(start + batch, n)
-        blk = np.zeros((batch, 2), dtype=np.int32)
+        stop = min(start + stride, n)
+        blk = np.zeros((stride, 2), dtype=np.int32)
         blk[: stop - start] = pairs[start:stop]
-        r = _rank_block(unit, jnp.asarray(blk[:, 0]),
-                        jnp.asarray(blk[:, 1]))
+        r = _rank_blocks(unit, jnp.asarray(blk[:, 0]),
+                         jnp.asarray(blk[:, 1]), batch, blocks_per_call)
         return start, stop, r
 
     # One-deep pipeline: copy-out of block i behind block i+1's compute.
-    for start, stop, r in lagged(dispatch(s) for s in range(0, n, batch)):
+    for start, stop, r in lagged(dispatch(s) for s in range(0, n, stride)):
         ranks[start:stop] = np.asarray(r)[: stop - start]
 
     out = {f"hit@{k}": float((ranks <= k).mean()) for k in hit_ks}

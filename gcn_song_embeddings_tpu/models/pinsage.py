@@ -224,7 +224,7 @@ def _embed_blocks(params: PinSageParams, features: jnp.ndarray,
 def embed_all(params: PinSageParams, features: jnp.ndarray,
               nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
               n_items: int, n_layers: int, T: int,
-              batch_size: int = 1024, blocks_per_call: int = 8
+              batch_size: int = 1024, blocks_per_call: int = 32
               ) -> jnp.ndarray:
     """Embed every item (reference PinSage.embed + save_embeddings,
     pinsage_training.py:258-327) -> [n_items, out_dim].
