@@ -40,11 +40,18 @@ def _load_graph(args, need_features: bool = True):
 
 
 def _positives_path(args) -> str:
-    for name in (args.positives, "positives_lfm.json", "positives.json"):
-        if name:
-            p = os.path.join(args.dataset, name)
-            if os.path.isfile(p):
-                return p
+    if args.positives:
+        # an explicit request must not silently fall back (a typo'd
+        # filename would otherwise evaluate against the wrong pairs)
+        p = os.path.join(args.dataset, args.positives)
+        if not os.path.isfile(p):
+            raise FileNotFoundError(f"--positives {args.positives!r} not "
+                                    f"found in {args.dataset}")
+        return p
+    for name in ("positives_lfm.json", "positives.json"):
+        p = os.path.join(args.dataset, name)
+        if os.path.isfile(p):
+            return p
     raise FileNotFoundError(f"no positives file found in {args.dataset}")
 
 
@@ -55,7 +62,9 @@ def _run_config(args):
     )
 
     cfg = RunConfig(run_name=args.run_name)
-    if args.config and os.path.isfile(args.config):
+    if args.config:
+        if not os.path.isfile(args.config):
+            raise FileNotFoundError(f"--config {args.config!r} not found")
         with open(args.config) as f:
             cfg = RunConfig.from_json(f.read())
         cfg = cfg.replace(run_name=args.run_name)
@@ -247,10 +256,14 @@ def cmd_grid(args) -> None:
     from gcn_song_embeddings_tpu.train.grid_search import grid_search
 
     graph = _load_graph(args)
+    if graph.features is None:
+        raise SystemExit("no features found: pass --features-file / "
+                         "--features-dir or synth a dataset with features")
     train_pos, test_pos = graph.load_positives_split(_positives_path(args))
     with open(args.grid) as f:
         grid = json.load(f)
     results = grid_search(graph, train_pos, test_pos, grid,
+                          base_cfg=_run_config(args),
                           base_run_dir=args.run_dir, out_path=args.out)
     print(json.dumps(results[:5], indent=2))
 

@@ -244,8 +244,12 @@ def make_synthetic_dataset_large(
                          for x, y in zip(a[keep], b[keep])))
         f.write("]")
 
-    centroids = rng.normal(size=(n_clusters, feature_dim)).astype(np.float32)
-    feats = centroids[track_cluster] + 0.5 * rng.normal(
-        size=(n_tracks, feature_dim)).astype(np.float32)
-    np.save(os.path.join(out_dir, "features.npy"), feats.astype(np.float32))
+    # standard_normal(dtype=f32) avoids a [n_tracks, d] float64 transient
+    # (~4 GB at default scale) in the path that exists to bound memory
+    centroids = rng.standard_normal((n_clusters, feature_dim),
+                                    dtype=np.float32)
+    feats = centroids[track_cluster]
+    feats += 0.5 * rng.standard_normal((n_tracks, feature_dim),
+                                       dtype=np.float32)
+    np.save(os.path.join(out_dir, "features.npy"), feats)
     return out_dir

@@ -31,10 +31,13 @@ import numpy as np
 
 @partial(jax.jit, static_argnames=("k",))
 def _query_topk(unit_emb: jnp.ndarray, row: jnp.ndarray, k: int):
-    """One-query cosine top-(k+1): [N, d] x [d] matvec + top_k."""
+    """One-query cosine top-(k+1): [N, d] x [d] matvec + top_k.
+
+    Self is filtered BY ID downstream, not by dropping slot 0 — with
+    duplicate embeddings top_k's index tie-break can put the duplicate in
+    slot 0 and the query itself in slot 1."""
     sims = unit_emb @ unit_emb[row]
-    w, n = jax.lax.top_k(sims, k + 1)
-    return w[1:], n[1:]  # drop self (rank 0)
+    return jax.lax.top_k(sims, k + 1)
 
 
 class EmbeddingIndex:
@@ -78,18 +81,24 @@ class EmbeddingIndex:
         return cls(emb, quantized=quantized)
 
     def knn(self, row: int, k: int = 10) -> list[dict]:
+        # the +1/+2 self-slack must never push top_k past the table size
+        slack = 2 if self.quantized else 1
+        if self.n <= slack:
+            return []
+        k = max(min(k, self.n - slack), 1)
         if self.quantized:
             from gcn_song_embeddings_tpu.ops.quantize import int8_topk
 
             w, n = int8_topk(self.q_values, self.q_scales,
                              jnp.asarray(self.unit[row][None, :]), k + 2)
             w, n = np.asarray(w[0]), np.asarray(n[0])
-            # quantization noise can demote the query below a near-dup, so
-            # filter self by id instead of blindly dropping slot 0
-            keep = n != row
-            w, n = w[keep][:k], n[keep][:k]
         else:
             w, n = _query_topk(self.unit, jnp.int32(row), k)
+            w, n = np.asarray(w), np.asarray(n)
+        # filter self BY ID (duplicate embeddings can tie-break the
+        # duplicate into slot 0 and the query into slot 1)
+        keep = n != row
+        w, n = w[keep][:k], n[keep][:k]
         out = []
         for score, idx in zip(np.asarray(w), np.asarray(n)):
             tid = self.track_ids[int(idx)]

@@ -9,6 +9,7 @@ carries its full RunConfig.
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import json
 from typing import Any
@@ -50,7 +51,14 @@ def grid_search(graph, train_pos: np.ndarray, test_pos: np.ndarray,
     nbhds_path = getattr(graph, "nbhds_path", None)
 
     for run_id, params in get_param_sets(grid):
-        run_name = f"gridsearch#{run_id}"
+        # suffix a value hash: run dirs keyed by grid INDEX alone would
+        # resume a stale fully-trained checkpoint when the grid's values
+        # change between invocations (load_save=True + shape-only
+        # checkpoint validation) and report its metrics as the new
+        # config's
+        tag = hashlib.sha1(
+            json.dumps(params, sort_keys=True).encode()).hexdigest()[:8]
+        run_name = f"gridsearch#{run_id}-{tag}"
         cfg = config_with_overrides(base_cfg, params).replace(
             run_name=run_name)
         if verbose:

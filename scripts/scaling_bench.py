@@ -79,7 +79,10 @@ def main() -> None:
             "train.batch_size": args.batch_per_device * nd,
         })
         tr = ShardedTrainer(mesh, cfg, n, feat, (nb_w.copy(), nb_n), pos)
-        tr.train_chunk(2)  # compile + warmup
+        # warm up with the SAME chunk length as the timed run: the jitted
+        # chunk step traces on the [steps, 2] key shape, so a different
+        # warmup length would leave a full recompile inside the timing
+        np.asarray(tr.train_chunk(args.steps))
         t0 = time.time()
         losses = tr.train_chunk(args.steps)
         np.asarray(losses)

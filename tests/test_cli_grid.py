@@ -78,8 +78,11 @@ def test_grid_search(cli_dataset, tmp_path):
     assert len(results) == 2
     assert results[0]["mrr"] >= results[1]["mrr"]  # sorted
     assert os.path.isfile(out_path)
-    # run dirs named like the reference (grid_search.py:20)
-    assert os.path.isdir(str(tmp_path / "runs_gs" / "gridsearch#0"))
+    # run dirs named like the reference (grid_search.py:20), suffixed with
+    # a value hash so edited grids never resume stale checkpoints
+    import glob
+
+    assert glob.glob(str(tmp_path / "runs_gs" / "gridsearch#0-*"))
 
 
 def test_cli_sharded_train(cli_dataset, tmp_path):

@@ -81,3 +81,27 @@ def test_quantized_index_recall(graph):
         got = {o["index"] for o in qindex.knn(q, 10)}
         recall += len(want & got) / 10
     assert recall / 40 > 0.85
+
+
+def test_knn_self_filtered_by_id_under_duplicates():
+    """With duplicate embeddings, top_k's index tie-break can put the
+    duplicate in slot 0 and the query in slot 1 — self must be filtered
+    BY ID, never by dropping slot 0."""
+    from gcn_song_embeddings_tpu.serve import EmbeddingIndex
+
+    emb = np.random.default_rng(0).normal(size=(50, 16)).astype(np.float32)
+    emb[9] = emb[5]  # exact duplicate
+    ix = EmbeddingIndex(emb)
+    top = ix.knn(9, k=3)
+    assert all(o["index"] != 9 for o in top)
+    assert top[0]["index"] == 5  # the duplicate is the #1 neighbor
+
+
+def test_knn_k_clamped_to_catalog():
+    from gcn_song_embeddings_tpu.serve import EmbeddingIndex
+
+    emb = np.random.default_rng(1).normal(size=(20, 8)).astype(np.float32)
+    ix = EmbeddingIndex(emb)
+    assert len(ix.knn(0, k=10_000)) == 19      # every non-self track
+    assert len(EmbeddingIndex(emb[:2]).knn(0, 10)) == 1
+    assert EmbeddingIndex(emb[:1]).knn(0, 10) == []
