@@ -58,7 +58,7 @@ class SyntheticSource(CatalogSource):
             "album_id": f"al{i // 10:05d}",
             "popularity": self.rng.randint(0, 100),
             "preview_url": f"https://example.invalid/clip/{i}.mp3",
-            "image_url": "",
+            "image_url": f"https://example.invalid/img/{i // 10}.jpg",
         }
 
     def search_collections(self, query, limit, col_type):
@@ -179,3 +179,103 @@ class DatasetCollector:
             except Exception as e:  # broad like the reference scraper loop
                 print(f"collection batch failed: {e!r}")
         return added
+
+    # ------------------------------------------- media + metadata sweeps
+
+    def download_clips(self, fetcher, retries: int = 3,
+                       subdir: str = "clips", ext: str = ".mp3") -> dict:
+        """Incremental preview-clip download with retry + orphan cleanup
+        (reference get_data.py:240-287: skip-if-present, 3 attempts per
+        clip, delete files whose track left the dataset).
+
+        `fetcher(track_id, preview_url) -> bytes` abstracts the HTTP layer
+        (this environment has no network; tests plug a synthetic fetcher).
+        """
+        return self._media_sweep(
+            subdir, ext, retries,
+            items=((tid, info.get("preview_url"))
+                   for tid, info in self.track_dict.items()
+                   if info.get("preview_url")),
+            fetch=fetcher)
+
+    def download_images(self, fetcher, retries: int = 3,
+                        subdir: str = "images", ext: str = ".jpg") -> dict:
+        """Album-cover download keyed by album_id with retry + orphan
+        cleanup (reference get_data.py:289-326)."""
+        albums = {}
+        for info in self.track_dict.values():
+            aid = info.get("album_id")
+            if aid and info.get("image_url"):
+                albums.setdefault(aid, info["image_url"])
+        return self._media_sweep(subdir, ext, retries,
+                                 items=albums.items(), fetch=fetcher)
+
+    def _media_sweep(self, subdir: str, ext: str, retries: int, items,
+                     fetch) -> dict:
+        out_dir = os.path.join(self.save_dir, subdir)
+        os.makedirs(out_dir, exist_ok=True)
+        stats = {"downloaded": 0, "skipped": 0, "failed": 0, "orphans": 0}
+        wanted = set()
+        for key, url in items:
+            wanted.add(key)
+            path = os.path.join(out_dir, key + ext)
+            if os.path.isfile(path):
+                stats["skipped"] += 1
+                continue
+            for attempt in range(retries):
+                try:
+                    data = fetch(key, url)
+                    with open(path, "wb") as f:
+                        f.write(data)
+                    stats["downloaded"] += 1
+                    break
+                except Exception as e:
+                    if attempt == retries - 1:
+                        print(f"media fetch failed for {key}: {e!r}")
+                        stats["failed"] += 1
+        # orphan cleanup: media whose owner left the dataset
+        for fname in os.listdir(out_dir):
+            if fname.endswith(ext) and fname[: -len(ext)] not in wanted:
+                os.remove(os.path.join(out_dir, fname))
+                stats["orphans"] += 1
+        return stats
+
+    def backfill_metadata(self, lookup, fields=("album", "release_date",
+                                                "artist_genres")) -> int:
+        """Fill missing per-track metadata fields via
+        `lookup(track_id) -> dict` (reference genre/album backfill,
+        get_data.py:365-417).  Returns the number of tracks updated."""
+        updated = 0
+        for tid, info in self.track_dict.items():
+            missing = [f for f in fields if not info.get(f)]
+            if not missing:
+                continue
+            try:
+                extra = lookup(tid) or {}
+            except Exception as e:
+                print(f"backfill failed for {tid}: {e!r}")
+                continue
+            changed = False
+            for f in missing:
+                if extra.get(f):
+                    info[f] = extra[f]
+                    changed = True
+            updated += changed
+        if updated:
+            self._save()
+        return updated
+
+    def track_image_map(self, subdir: str = "images",
+                        ext: str = ".jpg") -> dict:
+        """{track_id: album-image path} for tracks whose cover exists on
+        disk (reference get_track_image_mapping, get_data.py:421-435)."""
+        out_dir = os.path.join(self.save_dir, subdir)
+        out = {}
+        for tid, info in self.track_dict.items():
+            aid = info.get("album_id")
+            if not aid:
+                continue
+            path = os.path.join(out_dir, aid + ext)
+            if os.path.isfile(path):
+                out[tid] = path
+        return out

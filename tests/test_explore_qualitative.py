@@ -201,3 +201,50 @@ def test_examine_emb_and_plural_export(graph, tmp_path, capsys, monkeypatch):
     name1 = graph.tracks[graph.track_ids[1]]["name"]
     assert os.path.isfile(os.path.join("examples", name1, "M", "list.json"))
     assert os.path.isfile(os.path.join("examples", name1, "figure.tex"))
+
+
+def test_collector_media_sweeps_and_backfill(tmp_path):
+    """Clip/image downloads with retry + orphan cleanup, metadata
+    backfill, and the track->image map (reference get_data.py:240-435)."""
+    c = DatasetCollector(str(tmp_path), seed=1)
+    c.collect(n_batches=2)
+    n_clips_expected = sum(1 for t in c.track_dict.values()
+                           if t.get("preview_url"))
+
+    calls = {"n": 0}
+
+    def flaky_fetch(key, url):
+        calls["n"] += 1
+        if calls["n"] % 5 == 1:  # fail the first attempt periodically
+            raise IOError("transient")
+        return b"data-" + key.encode()
+
+    stats = c.download_clips(flaky_fetch, retries=3)
+    assert stats["downloaded"] == n_clips_expected
+    assert stats["failed"] == 0
+    # idempotent: second sweep skips everything
+    stats2 = c.download_clips(flaky_fetch)
+    assert stats2["skipped"] == n_clips_expected
+    assert stats2["downloaded"] == 0
+
+    # orphan cleanup: drop a track -> its clip is removed on next sweep
+    victim = next(iter(c.track_dict))
+    clip_path = tmp_path / "clips" / (victim + ".mp3")
+    assert clip_path.is_file()
+    del c.track_dict[victim]
+    stats3 = c.download_clips(flaky_fetch)
+    assert stats3["orphans"] == 1 and not clip_path.is_file()
+
+    # images + track->image map
+    c.download_images(lambda k, u: b"jpg")
+    imap = c.track_image_map()
+    assert imap and all(os.path.isfile(p) for p in imap.values())
+
+    # metadata backfill fills only missing fields and persists
+    tid = next(iter(c.track_dict))
+    c.track_dict[tid].pop("album", None)
+    n_up = c.backfill_metadata(lambda t: {"album": "Filled",
+                                          "artist_genres": ["g"]})
+    assert n_up >= 1
+    c2 = DatasetCollector(str(tmp_path), seed=1)
+    assert c2.track_dict[tid]["album"] == "Filled"
