@@ -111,21 +111,33 @@ class DatasetCollector:
         return os.path.join(self.save_dir, name)
 
     def _load(self, name: str):
-        """Load with .bak restore: a crash mid-_save leaves a truncated
-        JSON on disk; the backup written just before is the valid state
-        (reference restore protocol, get_data.py:92-121)."""
+        """Load with .bak restore: a crash mid-save leaves a corrupt JSON
+        on disk; the backup is the valid prior state (reference restore
+        protocol, get_data.py:92-121).  A dataset where BOTH copies exist
+        but neither parses is an error — silently restarting empty would
+        overwrite a recoverable dataset."""
         p = self._path(name)
-        for candidate in (p, p + ".bak"):
-            if os.path.isfile(candidate):
-                try:
-                    with open(candidate, encoding="utf-8") as f:
-                        return json.load(f)
-                except json.JSONDecodeError:
-                    continue
+        candidates = [c for c in (p, p + ".bak") if os.path.isfile(c)]
+        for candidate in candidates:
+            try:
+                with open(candidate, encoding="utf-8") as f:
+                    return json.load(f)
+            except json.JSONDecodeError:
+                continue
+        if candidates:
+            raise ValueError(
+                f"{p} and its .bak are both unreadable JSON — refusing "
+                f"to restart with an empty dataset; repair or remove them")
         return {}
 
     def _save(self) -> None:
-        """Backup then write (reference get_data.py:92-121)."""
+        """Backup then write ATOMICALLY (reference get_data.py:92-121).
+
+        The new content goes to a temp file first and is os.replace()d
+        over the primary, so the primary is never truncated mid-write;
+        the .bak (previous good state) is only refreshed from a primary
+        that existed before this save, never clobbered by a corrupt one
+        (see _load)."""
         for name, obj in (
                 ("tracks.json", self.track_dict),
                 ("collections.json", self.col_dict),
@@ -135,8 +147,10 @@ class DatasetCollector:
             p = self._path(name)
             if os.path.isfile(p):
                 shutil.copy(p, p + ".bak")
-            with open(p, "w", encoding="utf-8") as f:
+            tmp = p + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
                 json.dump(obj, f)
+            os.replace(tmp, p)
 
     # ------------------------------------------------------------ collect
 
@@ -196,28 +210,34 @@ class DatasetCollector:
             items=((tid, info.get("preview_url"))
                    for tid, info in self.track_dict.items()
                    if info.get("preview_url")),
-            fetch=fetcher)
+            fetch=fetcher,
+            # orphans are media whose OWNER left the dataset — a track
+            # whose preview_url merely went empty keeps its clip
+            owners=set(self.track_dict))
 
     def download_images(self, fetcher, retries: int = 3,
                         subdir: str = "images", ext: str = ".jpg") -> dict:
         """Album-cover download keyed by album_id with retry + orphan
         cleanup (reference get_data.py:289-326)."""
         albums = {}
+        owners = set()
         for info in self.track_dict.values():
             aid = info.get("album_id")
-            if aid and info.get("image_url"):
+            if not aid:
+                continue
+            owners.add(aid)
+            if info.get("image_url"):
                 albums.setdefault(aid, info["image_url"])
         return self._media_sweep(subdir, ext, retries,
-                                 items=albums.items(), fetch=fetcher)
+                                 items=albums.items(), fetch=fetcher,
+                                 owners=owners)
 
     def _media_sweep(self, subdir: str, ext: str, retries: int, items,
-                     fetch) -> dict:
+                     fetch, owners: set) -> dict:
         out_dir = os.path.join(self.save_dir, subdir)
         os.makedirs(out_dir, exist_ok=True)
         stats = {"downloaded": 0, "skipped": 0, "failed": 0, "orphans": 0}
-        wanted = set()
         for key, url in items:
-            wanted.add(key)
             path = os.path.join(out_dir, key + ext)
             if os.path.isfile(path):
                 stats["skipped"] += 1
@@ -235,7 +255,7 @@ class DatasetCollector:
                         stats["failed"] += 1
         # orphan cleanup: media whose owner left the dataset
         for fname in os.listdir(out_dir):
-            if fname.endswith(ext) and fname[: -len(ext)] not in wanted:
+            if fname.endswith(ext) and fname[: -len(ext)] not in owners:
                 os.remove(os.path.join(out_dir, fname))
                 stats["orphans"] += 1
         return stats

@@ -90,10 +90,32 @@ def load_feature_rows(features_dir: str, track_ids: Sequence[str],
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dim,
         n_threads, ctypes.byref(first_bad))
     if n_bad:
+        # The C reader only handles little-endian contiguous f32/f64; for
+        # anything it rejects (e.g. '>f4' big-endian writers) re-read the
+        # whole directory with np.load, which converts correctly.  The
+        # reject-then-fallback split keeps the fast path honest (it never
+        # byte-swaps silently) while still accepting every valid file.
         bad_id = track_ids[first_bad.value]
-        raise ValueError(
-            f"{n_bad} feature files failed to load as [{dim}] f32/f64 "
-            f"vectors (first: {bad_id!r}.npy) in {features_dir}")
+        import warnings
+
+        warnings.warn(
+            f"{n_bad} feature files not loadable by the native reader "
+            f"(first: {bad_id!r}.npy); falling back to np.load for the "
+            f"directory {features_dir}")
+        for i, path in enumerate(paths):
+            if not path:
+                continue  # .pt rows handled below
+            try:
+                vec = np.load(path.decode()).reshape(-1)
+            except Exception as e:
+                raise ValueError(
+                    f"feature file failed to load even via np.load: "
+                    f"{path.decode()} ({e!r})") from e
+            if vec.shape[0] != dim:
+                raise ValueError(
+                    f"feature file failed to load as a [{dim}] vector: "
+                    f"{path.decode()} has {vec.shape[0]} elements")
+            out[i] = vec.astype(np.float32)
 
     if pt_rows:
         import torch  # interop only; never used in the compute path

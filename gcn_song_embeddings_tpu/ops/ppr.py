@@ -115,6 +115,22 @@ def sample_neighborhood_topt(graph: DeviceGraph, nodeset: jnp.ndarray,
     return visit_counts_topt(trace, nodeset, T)
 
 
+@partial(jax.jit, static_argnames=("n_hops", "T", "n_chains"))
+def sample_neighborhood_topt_tables(tables, nodeset: jnp.ndarray,
+                                    n_hops: int, alpha: float, T: int,
+                                    key: jax.Array, n_chains: int = 1
+                                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """sample_neighborhood_topt over PREBUILT fused_walk_tables.
+
+    Callers that dispatch many walk batches (PersPageRank's query sweep,
+    the multichip sweep) hoist the O(nnz) extent join out of the per-batch
+    jit — inside `sample_neighborhood_topt(fused=True)` it would re-run on
+    device every dispatch."""
+    trace = walks_from_fused_tables(tables, nodeset, n_hops, alpha, key,
+                                    n_chains=n_chains)
+    return visit_counts_topt(trace, nodeset, T)
+
+
 @partial(jax.jit, static_argnames=("n_hops", "T", "batch", "n_blocks",
                                    "n_chains", "fused"))
 def _neighborhood_sweep_blocks(graph: DeviceGraph, start: jnp.ndarray,
@@ -284,6 +300,7 @@ def precompute_neighborhoods_multichip(graph: DeviceGraph, cfg: WalkConfig,
     base_key = jax.random.PRNGKey(seed)
 
     chains = effective_chains(cfg.n_hops, cfg.parallel_chains)
+    tables = fused_walk_tables(graph_repl) if cfg.fused_tables else None
 
     # One-deep software pipeline (utils/pipeline.py), same as the
     # single-chip sweep: drain sweep i-1 while sweep i computes.
@@ -292,9 +309,14 @@ def precompute_neighborhoods_multichip(graph: DeviceGraph, cfg: WalkConfig,
         nodeset = np.arange(start, start + sweep, dtype=np.int32) % n_items
         nodeset = jax.device_put(jnp.asarray(nodeset), shard)
         key = jax.random.fold_in(base_key, start)
-        w, n = sample_neighborhood_topt(
-            graph_repl, nodeset, cfg.n_hops, cfg.alpha, T, key,
-            n_chains=chains, fused=cfg.fused_tables)
+        if tables is not None:
+            w, n = sample_neighborhood_topt_tables(
+                tables, nodeset, cfg.n_hops, cfg.alpha, T, key,
+                n_chains=chains)
+        else:
+            w, n = sample_neighborhood_topt(
+                graph_repl, nodeset, cfg.n_hops, cfg.alpha, T, key,
+                n_chains=chains, fused=False)
         return start, stop, w, n
 
     for start, stop, w, n in lagged(

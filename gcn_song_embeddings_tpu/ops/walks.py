@@ -40,6 +40,15 @@ def walk_tables(graph: DeviceGraph) -> tuple[jnp.ndarray, jnp.ndarray]:
     return pack(graph.i2c_indptr), pack(graph.c2i_indptr)
 
 
+def uniform_slot(u: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
+    """Uniform neighbor slot: min(floor(u * deg), deg - 1), degree-0 rows
+    clamped to slot 0.  THE single definition — every walker variant
+    (packed, fused, sharded) must replay bit-identical chains, which
+    requires byte-for-byte identical slot arithmetic."""
+    return jnp.minimum((u * deg.astype(u.dtype)).astype(jnp.int32),
+                       jnp.maximum(deg - 1, 0))
+
+
 def _uniform_neighbor_packed(extents: jnp.ndarray, indices: jnp.ndarray,
                              nodes: jnp.ndarray, u: jnp.ndarray
                              ) -> jnp.ndarray:
@@ -52,9 +61,7 @@ def _uniform_neighbor_packed(extents: jnp.ndarray, indices: jnp.ndarray,
     """
     row = extents[nodes]                       # one gather: [m, 2]
     start, deg = row[:, 0], row[:, 1]
-    offset = jnp.minimum((u * deg.astype(u.dtype)).astype(jnp.int32),
-                         jnp.maximum(deg - 1, 0))
-    return indices[start + offset]
+    return indices[start + uniform_slot(u, deg)]
 
 
 def walks_from_tables(tables: tuple[jnp.ndarray, jnp.ndarray],
@@ -161,17 +168,11 @@ def walks_from_fused_tables(tables, nodeset: jnp.ndarray, n_hops: int,
     uniforms = jax.random.uniform(key, (hops, b, 3))
     org_ext = origin_ext[origins]                     # gathered once
 
-    def offset(u, deg):
-        # identical clamp arithmetic to _uniform_neighbor_packed, so the
-        # chain matches the plain-table walker bit-for-bit per key
-        return jnp.minimum((u * deg.astype(u.dtype)).astype(jnp.int32),
-                           jnp.maximum(deg - 1, 0))
-
     def hop(cur_ext: jnp.ndarray, u: jnp.ndarray):
         s1, d1 = cur_ext[:, 0], cur_ext[:, 1]
-        col_ext = i2c_ext[s1 + offset(u[:, 0], d1)]   # (c2i start, deg)
+        col_ext = i2c_ext[s1 + uniform_slot(u[:, 0], d1)]  # (c2i start, deg)
         s2, d2 = col_ext[:, 0], col_ext[:, 1]
-        row = c2i_ext[s2 + offset(u[:, 1], d2)]       # (item, start, deg)
+        row = c2i_ext[s2 + uniform_slot(u[:, 1], d2)]  # (item, start, deg)
         item = row[:, 0]
         nxt = jnp.where(u[:, 2, None] < alpha, org_ext, row[:, 1:3])
         return nxt, item

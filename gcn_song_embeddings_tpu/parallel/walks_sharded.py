@@ -39,6 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gcn_song_embeddings_tpu.data.device import DeviceGraph
 from gcn_song_embeddings_tpu.parallel.gather import sharded_table_gather
 from gcn_song_embeddings_tpu.parallel.mesh import pad_to_multiple
+from gcn_song_embeddings_tpu.ops.walks import uniform_slot
 from gcn_song_embeddings_tpu.utils.pipeline import lagged
 
 
@@ -118,15 +119,9 @@ def _remote_neighbor(off_local, idx_local, nodes, u, axis):
     """Uniform random neighbor via two collective gathers."""
     off = sharded_table_gather(off_local, nodes, axis)      # [W, 2]
     start, deg = off[:, 0], off[:, 1]
-    slot = jnp.minimum((u * deg.astype(u.dtype)).astype(jnp.int32),
-                       jnp.maximum(deg - 1, 0))
-    nb = sharded_table_gather(idx_local, start + slot, axis)  # [W, 1]
+    nb = sharded_table_gather(idx_local, start + uniform_slot(u, deg),
+                              axis)                          # [W, 1]
     return nb[:, 0]
-
-
-def _slot(u, deg):
-    return jnp.minimum((u * deg.astype(u.dtype)).astype(jnp.int32),
-                       jnp.maximum(deg - 1, 0))
 
 
 def make_sharded_walker_fused(mesh: Mesh, sg: ShardedFusedGraph,
@@ -155,10 +150,10 @@ def make_sharded_walker_fused(mesh: Mesh, sg: ShardedFusedGraph,
         def hop(cur_ext, u):
             s1, d1 = cur_ext[:, 0], cur_ext[:, 1]
             col_ext = sharded_table_gather(
-                i2c_ext, s1 + _slot(u[:, 0], d1), axis)     # [W, 2]
+                i2c_ext, s1 + uniform_slot(u[:, 0], d1), axis)     # [W, 2]
             s2, d2 = col_ext[:, 0], col_ext[:, 1]
             row = sharded_table_gather(
-                c2i_ext, s2 + _slot(u[:, 1], d2), axis)     # [W, 3]
+                c2i_ext, s2 + uniform_slot(u[:, 1], d2), axis)     # [W, 3]
             item = row[:, 0]
             nxt = jnp.where(u[:, 2, None] < alpha, org_ext, row[:, 1:3])
             return nxt, item

@@ -81,12 +81,15 @@ class EmbeddingIndex:
         return cls(emb, quantized=quantized)
 
     def knn(self, row: int, k: int = 10) -> list[dict]:
-        # the +1/+2 self-slack must never push top_k past the table size
-        slack = 2 if self.quantized else 1
+        # the +1/+2 self-slack must never push top_k past the table size;
+        # catalogs too small for the int8 kernel's +2 slack still have
+        # valid neighbors — serve them via the exact path
+        use_quantized = self.quantized and self.n > 2
+        slack = 2 if use_quantized else 1
         if self.n <= slack:
             return []
         k = max(min(k, self.n - slack), 1)
-        if self.quantized:
+        if use_quantized:
             from gcn_song_embeddings_tpu.ops.quantize import int8_topk
 
             w, n = int8_topk(self.q_values, self.q_scales,

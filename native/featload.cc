@@ -52,8 +52,9 @@ bool read_npy_vector(const char* path, float* out, int64_t dim) {
 
     // dtype: accept little-endian / byte-order-free '<f4' / '<f8' /
     // '|f4' / '=f4' only.  Big-endian ('>f4') would fread byte-swapped
-    // garbage, so it must be REJECTED (the caller falls back to np.load,
-    // which converts correctly).
+    // garbage, so it must be REJECTED — the Python caller
+    // (native/featload.py) then re-reads the directory with np.load,
+    // which byte-swaps correctly.
     const char* descr = std::strstr(h, "'descr'");
     if (!descr) break;
     bool f64;

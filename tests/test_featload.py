@@ -91,3 +91,20 @@ def test_large_dir_throughput(built, tmp_path):
     out = featload.load_feature_rows(str(tmp_path), ids)
     assert out.shape == (3000, 16)
     assert np.isfinite(out).all() and (np.abs(out).sum(axis=1) > 0).all()
+
+
+def test_big_endian_npy_falls_back_to_numpy(tmp_path):
+    """'>f4' files are rejected by the C reader (it would byte-swap
+    garbage) and rescued by the np.load fallback, which converts."""
+    import warnings
+
+    from gcn_song_embeddings_tpu.native.featload import load_feature_rows
+
+    want = np.arange(8, dtype=np.float32)
+    np.save(tmp_path / "a.npy", want)
+    np.save(tmp_path / "b.npy", want.astype(">f4"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = load_feature_rows(str(tmp_path), ["a", "b"])
+    np.testing.assert_array_equal(out[0], want)
+    np.testing.assert_array_equal(out[1], want)

@@ -314,3 +314,24 @@ def test_fused_sharded_walker_bit_identical_to_plain(device_graph):
     key = jax.random.PRNGKey(5)
     np.testing.assert_array_equal(np.asarray(plain(nodeset, key)),
                                   np.asarray(fused(nodeset, key)))
+
+
+def test_shard_graph_fused_matches_single_chip_tables(device_graph):
+    """shard_graph_fused and ops.walks.fused_walk_tables implement the
+    same extent join; their tables must agree element-for-element on the
+    unpadded region (bit-identity of all walker variants depends on it)."""
+    from gcn_song_embeddings_tpu.ops.walks import fused_walk_tables
+    from gcn_song_embeddings_tpu.parallel.walks_sharded import (
+        shard_graph_fused,
+    )
+
+    mesh = make_mesh(n_dp=2, n_graph=4)
+    sg = shard_graph_fused(device_graph, mesh)
+    origin, i2c_ext, c2i_ext = [np.asarray(t)
+                                for t in fused_walk_tables(device_graph)]
+    np.testing.assert_array_equal(
+        np.asarray(sg.origin_ext)[: origin.shape[0]], origin)
+    np.testing.assert_array_equal(
+        np.asarray(sg.i2c_ext)[: i2c_ext.shape[0]], i2c_ext)
+    np.testing.assert_array_equal(
+        np.asarray(sg.c2i_ext)[: c2i_ext.shape[0]], c2i_ext)
