@@ -25,6 +25,29 @@ Design principles (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Matmul precision policy (measured on v5e — RESULTS.md "Matmul precision"):
+# on TPU, JAX's default runs f32 matmuls as ONE bf16 MXU pass.  Training and
+# the model forward are insensitive to that rounding (hit@100 identical to
+# f32-accurate passes), but similarity RANKING is not — embeddings trained at
+# the reference's tiny margin (1e-5, pinsage_training.py:140) separate by
+# ~1e-4 cosine, inside bf16 rounding error, and hit@100 collapses
+# 0.995 -> 0.13.  The framework therefore pins precision=HIGHEST at the
+# op level exactly where ranking/conditioning demands it (ops/knn.py,
+# evals/device_eval.py, serve.py, the ALS normal equations in
+# models/baselines/mf.py) and leaves the gather-bound train step at the fast
+# default.  GCN_TPU_MATMUL_PRECISION=<default|high|highest> force-overrides
+# the global default for everything else (diagnostic escape hatch).
+_pref = _os.environ.get("GCN_TPU_MATMUL_PRECISION")
+if _pref:
+    import jax as _jax
+
+    if _jax.config.jax_default_matmul_precision is None:
+        _jax.config.update("jax_default_matmul_precision", _pref)
+    del _jax
+del _os, _pref
+
 from gcn_song_embeddings_tpu.config import (  # noqa: F401
     PinSageConfig,
     TrainConfig,

@@ -61,7 +61,11 @@ def _rank_block(unit_emb: jnp.ndarray, q: jnp.ndarray, pos: jnp.ndarray,
 
     def tile(acc, start):
         rows = jax.lax.dynamic_slice_in_dim(emb_pad, start, chunk, axis=0)
-        sims = jnp.dot(qv, rows.T, preferred_element_type=jnp.float32)
+        # f32-accurate passes: rank comparisons against pos_sim live at
+        # ~1e-4 cosine scale for tiny-margin-trained embeddings (see
+        # ops/knn.py precision note / RESULTS.md "Matmul precision").
+        sims = jnp.dot(qv, rows.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         idx = start + jnp.arange(chunk)
         valid = (idx[None, :] < n) & (idx[None, :] != q[:, None])
         better = (sims > pos_sim[:, None]) & valid

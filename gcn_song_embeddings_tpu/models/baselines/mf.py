@@ -95,11 +95,16 @@ def _als_solve_block(Y: jnp.ndarray, YtY: jnp.ndarray, idx: jnp.ndarray,
     Yu = Y[idx]                                   # [B, M, F]
     mask = (conf > 0).astype(jnp.float32)         # padding mask
     cprime = (conf - 1.0) * mask                  # (c - 1), 0 on padding
+    # Normal equations need f32-accurate products: Cholesky amplifies
+    # bf16 rounding of A (cond(A) grows with confidence alpha) — see the
+    # precision note in ops/knn.py.
     A = YtY[None] + jnp.einsum("bmf,bmg,bm->bfg", Yu, Yu, cprime,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     A = A + reg * jnp.eye(F, dtype=jnp.float32)[None]
     b = jnp.einsum("bmf,bm->bf", Yu, conf * mask,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     cho = jax.scipy.linalg.cho_factor(A)
     return jax.scipy.linalg.cho_solve(cho, b)
 
@@ -109,7 +114,8 @@ def _als_half_step(X: np.ndarray, Y: np.ndarray, idx: np.ndarray,
                    ) -> np.ndarray:
     """Update all X rows given fixed Y."""
     Yj = jnp.asarray(Y)
-    YtY = jnp.dot(Yj.T, Yj, preferred_element_type=jnp.float32)
+    YtY = jnp.dot(Yj.T, Yj, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     out = np.empty_like(X)
     n = X.shape[0]
     for s in range(0, n, block):

@@ -27,7 +27,13 @@ def cosine_topk_block(emb: jnp.ndarray, queries: jnp.ndarray, k: int
     emb: [N, d]; queries: [B] int32.  Returns (weights [B, k], nodes [B, k]).
     """
     q = emb[queries]
-    dot = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
+    # Precision note (measured on v5e, RESULTS.md "Matmul precision"):
+    # similarity RANKING must be f32-accurate.  Embeddings trained at the
+    # reference's tiny margin separate by ~1e-4 cosine; a single-pass-bf16
+    # MXU matmul (JAX's TPU default for f32 inputs) rounds those ties away
+    # and hit@100 collapses 0.995 -> 0.13.  HIGHEST = f32-accurate passes.
+    dot = jnp.dot(q, emb.T, preferred_element_type=jnp.float32,
+                  precision=lax.Precision.HIGHEST)
     q_len = jnp.linalg.norm(q, axis=1, keepdims=True)
     e_len = jnp.linalg.norm(emb, axis=1)[None, :]
     sim = dot / (q_len * e_len + 1e-16)
@@ -61,7 +67,8 @@ def cosine_topk_streamed(emb: jnp.ndarray, queries: jnp.ndarray, k: int,
         best_w, best_n = carry
         rows = lax.dynamic_slice_in_dim(emb_pad, start, chunk, axis=0)
         lens = lax.dynamic_slice_in_dim(e_len_pad, start, chunk, axis=0)
-        sim = jnp.dot(q, rows.T, preferred_element_type=jnp.float32)
+        sim = jnp.dot(q, rows.T, preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST)
         sim = sim / (q_len * lens[None, :] + 1e-16)
         valid = (start + jnp.arange(chunk)) < n
         sim = jnp.where(valid[None, :], sim, -jnp.inf)

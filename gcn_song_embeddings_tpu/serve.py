@@ -36,7 +36,8 @@ def _query_topk(unit_emb: jnp.ndarray, row: jnp.ndarray, k: int):
     Self is filtered BY ID downstream, not by dropping slot 0 — with
     duplicate embeddings top_k's index tie-break can put the duplicate in
     slot 0 and the query itself in slot 1."""
-    sims = unit_emb @ unit_emb[row]
+    sims = jnp.dot(unit_emb, unit_emb[row],
+                   precision=jax.lax.Precision.HIGHEST)  # see ops/knn.py
     return jax.lax.top_k(sims, k + 1)
 
 

@@ -151,3 +151,40 @@ def test_harness_cache_and_tables(graph, positives, tmp_path):
                              verbose=False)
     w2, n2 = knn_dict2["Random"]
     np.testing.assert_array_equal(n, n2)
+
+
+def test_ranking_matmuls_pinned_to_highest_precision():
+    """Similarity-ranking matmuls must be f32-accurate (HIGHEST).
+
+    On TPU, JAX's default matmul precision is a single bf16 MXU pass;
+    embeddings trained at the reference margin (1e-5) separate by ~1e-4
+    cosine, and bf16-rounded similarities collapse hit@100 0.995 -> 0.13
+    (measured on v5e — RESULTS.md "Matmul precision").  CPU ignores the
+    precision flag numerically, so this guards the STRUCTURE: the traced
+    kernels must carry Precision.HIGHEST on their ranking dots.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gcn_song_embeddings_tpu.evals import device_eval
+    from gcn_song_embeddings_tpu.ops import knn as knn_ops
+    from gcn_song_embeddings_tpu import serve
+
+    emb = jnp.zeros((64, 8), jnp.float32)
+    q = jnp.zeros((4,), jnp.int32)
+
+    jx = jax.make_jaxpr(
+        lambda e, i: knn_ops.cosine_topk_block.__wrapped__(e, i, 5))(emb, q)
+    assert "HIGHEST" in str(jx)
+    jx = jax.make_jaxpr(
+        lambda e, i: knn_ops.cosine_topk_streamed.__wrapped__(
+            e, i, 5, chunk=32))(emb, q)
+    assert "HIGHEST" in str(jx)
+    jx = jax.make_jaxpr(
+        lambda e, a, b: device_eval._rank_block.__wrapped__(
+            e, a, b, chunk=32))(emb, q, q)
+    assert "HIGHEST" in str(jx)
+    jx = jax.make_jaxpr(
+        lambda e, r: serve._query_topk.__wrapped__(e, r, 5))(
+            emb, jnp.int32(0))
+    assert "HIGHEST" in str(jx)
