@@ -114,12 +114,15 @@ class RunConfig:
     def recommended(run_name: str = "pinsage_tpu") -> "RunConfig":
         """Tuned defaults for catalog-scale training.
 
-        The reference defaults (margin=1e-5, lr=1e-4) reproduce the
-        reference's behavior but the margin is satisfied immediately at
-        catalog scale and the embedding never organizes (RESULTS.md:
-        hit@100 0.003 vs 0.206 on the 100k benchmark).  This preset keeps
-        every structural hyperparameter and raises margin/lr to the
-        grid-search winners (results/grid_search1.json)."""
+        The reference defaults (margin=1e-5, lr=1e-4) work — hit@100 0.202
+        vs 0.196 for this preset on the 100k benchmark — but they leave
+        the embedding geometrically near-collapsed (mean pairwise cosine
+        0.9999), so ranking it demands f32-accurate similarity everywhere
+        and any downstream consumer (ANN indexes, quantized serving) sits
+        on a numerical knife edge.  margin=0.1 buys the same accuracy
+        with ~1e-1-scale separations (RESULTS.md "Matmul precision" +
+        "Quality"); lr=1e-3 converges in fewer epochs on the grid
+        (results/grid_search1.json)."""
         return RunConfig(
             run_name=run_name,
             train=TrainConfig(lr=1e-3, margin=0.1),

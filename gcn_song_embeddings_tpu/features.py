@@ -256,32 +256,65 @@ class MFCC(Embedder):
 
 
 class OpenL3(Embedder):
-    """Stub: the reference uses torchopenl3 (mel128/music/512-d, 1 s windows
-    hop 2 s, mean-pooled — generate_node_features.py:209-229).  Pretrained
-    weights cannot be downloaded in this environment; precomputed OpenL3
-    vectors are consumed via EmbLoader instead."""
+    """L3-Net audio embedder (reference: torchopenl3 mel128/music/512-d,
+    1 s windows hop 2 s, mean-pooled — generate_node_features.py:209-229).
+
+    The architecture runs natively as a JAX CNN
+    (models/audio_embedders.py); `weights_path` restores pretrained
+    parameters from an .npz converted offline from the official release
+    (no network egress here).  Without it the network is seeded
+    random-init — the pipeline runs end-to-end but features are untrained
+    projections (a one-time warning says so); precomputed OpenL3 vectors
+    remain consumable via EmbLoader."""
 
     name = "openl3"
     dim = 512
 
-    def embed_batch(self, clips):
-        raise RuntimeError(
-            "OpenL3 needs pretrained weights (torchopenl3), unavailable "
-            "offline. Precompute vectors elsewhere and load them with "
-            "EmbLoader / features_openl3 directory.")
+    def __init__(self, weights_path: str | None = None, seed: int = 0,
+                 window_s: float = 1.0, hop_s: float = 2.0):
+        from gcn_song_embeddings_tpu.models import audio_embedders as ae
+
+        self._ae = ae
+        self.window_s, self.hop_s = window_s, hop_s
+        if weights_path:
+            self.params = ae.load_weights(weights_path)
+        else:
+            self.params = ae.init_openl3(seed)
+            ae.warn_untrained("OpenL3")
+
+    def embed_batch(self, clips: np.ndarray) -> np.ndarray:
+        ae = self._ae
+        wins, n_win = ae.openl3_mel_windows(clips, window_s=self.window_s,
+                                            hop_s=self.hop_s)
+        emb = np.asarray(ae.openl3_forward(self.params, wins, self.dim))
+        return emb.reshape(-1, n_win, self.dim).mean(axis=1)
 
 
 class VGGish(Embedder):
-    """Stub (reference lists VGGish features, generate_node_features.py:232-248
-    commented out): pretrained weights unavailable offline; vectors are
-    consumed via EmbLoader / features_vggish2 directories."""
+    """VGGish audio embedder (reference lists VGGish features,
+    generate_node_features.py:232-248, commented out).  Native JAX CNN
+    (models/audio_embedders.py) over 0.96 s log-mel patches, mean-pooled;
+    `weights_path` restores a converted official checkpoint, else seeded
+    random-init with a one-time untrained warning."""
 
     name = "vggish2"
     dim = 128
 
-    def embed_batch(self, clips):
-        raise RuntimeError("VGGish needs pretrained weights, unavailable "
-                           "offline; load precomputed vectors via EmbLoader.")
+    def __init__(self, weights_path: str | None = None, seed: int = 0):
+        from gcn_song_embeddings_tpu.models import audio_embedders as ae
+
+        self._ae = ae
+        if weights_path:
+            self.params = ae.load_weights(weights_path)
+        else:
+            self.params = ae.init_vggish(seed)
+            ae.warn_untrained("VGGish")
+
+    def embed_batch(self, clips: np.ndarray) -> np.ndarray:
+        ae = self._ae
+        patches, n_p = ae.vggish_log_mel_patches(clips)
+        emb = np.asarray(ae.vggish_forward(self.params, patches))
+        return emb.reshape(-1, n_p, self.dim).mean(axis=1)
 
 
 class MusicNN(Embedder):

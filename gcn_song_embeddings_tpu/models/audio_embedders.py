@@ -1,0 +1,284 @@
+"""Audio embedding networks (OpenL3 / VGGish) as functional JAX CNNs.
+
+The reference consumes these as pip packages with downloaded pretrained
+weights (torchopenl3 — generate_node_features.py:209-229; VGGish commented
+out at :232-248).  This environment has no network egress, so instead of
+wrapping a package we implement the ARCHITECTURES natively (conv stacks as
+XLA convolutions, inference-mode batch norm folded to scale/shift) with:
+
+  * `load_weights(path)` — restore parameters from an `.npz` (e.g. converted
+    offline from the official releases; array names = pytree paths below);
+  * seeded random initialization as the fallback, so the full feature
+    pipeline (windowing -> mel frontend -> CNN -> pooling ->
+    features_<name>/ artifacts) runs end-to-end and is testable — but the
+    resulting features are UNTRAINED (structured random projections).  A
+    one-time warning says so.
+
+Shapes follow the published models:
+
+  OpenL3 (L3-Net audio subnetwork, mel128 / music / 512-d):
+    48 kHz, 1 s windows; mel spectrogram n_fft 2048, hop 242, 128 mels,
+    center-padded -> [128, 199]; batch-norm on input; conv blocks
+    [64,64] [128,128] [256,256] [512,512] (3x3 same + BN + ReLU) with 2x2
+    max-pool between blocks -> [16, 24, 512]; final 16x24 max-pool ->
+    512-d.  Windows mean-pooled (reference: 1 s windows, hop 2 s,
+    generate_node_features.py:218-228).
+
+  VGGish (AudioSet, 128-d):
+    16 kHz, 0.96 s patches of 96 frames x 64 log-mel bands (25 ms window,
+    10 ms hop, 125-7500 Hz, log(mel + 0.01)); convs 64, 128, 256x2, 512x2
+    with 2x2 pools -> flatten -> fc 4096 x2 -> fc 128 (ReLU); patches
+    mean-pooled.
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from gcn_song_embeddings_tpu.features import (
+    SAMPLE_RATE,
+    hann_window,
+    mel_filterbank,
+    resample_linear,
+)
+
+
+def _conv2d(x, w, b):
+    """NHWC 3x3 'same' convolution + bias.  w: [kh, kw, cin, cout]."""
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b
+
+
+def _maxpool(x, size, strides=None):
+    sh, sw = size
+    st = strides or size
+    return lax.reduce_window(x, -jnp.inf, lax.max,
+                             (1, sh, sw, 1), (1, st[0], st[1], 1), "VALID")
+
+
+def _bn_apply(x, p, eps: float = 1e-3):
+    """Inference batch norm: (x - mean) / sqrt(var + eps) * gamma + beta."""
+    inv = 1.0 / jnp.sqrt(p["var"] + eps)
+    return (x - p["mean"]) * inv * p["gamma"] + p["beta"]
+
+
+def _init_conv(key, kh, kw, cin, cout):
+    fan_in = kh * kw * cin
+    std = float(np.sqrt(2.0 / fan_in))
+    return {
+        "w": jax.random.normal(key, (kh, kw, cin, cout), "float32") * std,
+        "b": np.zeros((cout,), np.float32),
+    }
+
+
+def _init_bn(c):
+    return {"gamma": np.ones((c,), np.float32),
+            "beta": np.zeros((c,), np.float32),
+            "mean": np.zeros((c,), np.float32),
+            "var": np.ones((c,), np.float32)}
+
+
+def _init_fc(key, din, dout):
+    std = float(np.sqrt(2.0 / din))
+    return {"w": jax.random.normal(key, (din, dout), "float32") * std,
+            "b": np.zeros((dout,), np.float32)}
+
+
+def _flatten_params(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        name = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_params(v, name))
+        else:
+            out[name] = np.asarray(v)
+    return out
+
+
+def _unflatten_params(flat):
+    tree: dict = {}
+    for name, v in flat.items():
+        parts = name.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(v)
+    return tree
+
+
+def save_weights(params: dict, path: str) -> None:
+    np.savez(path, **_flatten_params(params))
+
+
+def load_weights(path: str) -> dict:
+    with np.load(path) as z:
+        return _unflatten_params({k: z[k] for k in z.files})
+
+
+# ---------------------------------------------------------------- OpenL3
+
+OPENL3_SR = 48_000
+OPENL3_NFFT = 2048
+OPENL3_HOP = 242
+OPENL3_MELS = 128
+OPENL3_FRAMES = 199  # 1 + floor(48000 / 242), center-padded
+_L3_BLOCKS = ((1, 64), (64, 128), (128, 256), (256, 512))
+
+
+def init_openl3(seed: int = 0, emb_dim: int = 512) -> dict:
+    assert emb_dim in (512, 6144)
+    keys = jax.random.split(jax.random.PRNGKey(seed), 9)
+    p: dict = {"bn_in": _init_bn(1)}
+    ki = 0
+    for bi, (cin, cout) in enumerate(_L3_BLOCKS):
+        p[f"block{bi}"] = {
+            "conv0": _init_conv(keys[ki], 3, 3, cin, cout),
+            "bn0": _init_bn(cout),
+            "conv1": _init_conv(keys[ki + 1], 3, 3, cout, cout),
+            "bn1": _init_bn(cout),
+        }
+        ki += 2
+    return p
+
+
+@partial(jax.jit, static_argnames=("emb_dim",))
+def openl3_forward(params: dict, mel_db: jnp.ndarray, emb_dim: int = 512):
+    """[B, 128, 199] mel-dB windows -> [B, emb_dim] embeddings."""
+    x = mel_db[..., None]                                  # NHWC, C=1
+    x = _bn_apply(x, params["bn_in"])
+    for bi in range(4):
+        blk = params[f"block{bi}"]
+        x = jax.nn.relu(_bn_apply(_conv2d(x, blk["conv0"]["w"],
+                                          blk["conv0"]["b"]), blk["bn0"]))
+        x = jax.nn.relu(_bn_apply(_conv2d(x, blk["conv1"]["w"],
+                                          blk["conv1"]["b"]), blk["bn1"]))
+        if bi < 3:
+            x = _maxpool(x, (2, 2))
+    # x: [B, 16, 24, 512]
+    pool = (16, 24) if emb_dim == 512 else (4, 8)
+    x = _maxpool(x, pool)
+    return x.reshape(x.shape[0], -1).astype(jnp.float32)
+
+
+def openl3_mel_windows(clips: np.ndarray, sr: int = SAMPLE_RATE,
+                       window_s: float = 1.0, hop_s: float = 2.0
+                       ) -> tuple[np.ndarray, int]:
+    """[B, samples]@sr -> ([B*W, 128, 199] mel-dB windows, W windows/clip).
+
+    Resamples to 48 kHz and frames 1 s windows every `hop_s` seconds
+    (reference torchopenl3 call: 1 s / hop 2 s,
+    generate_node_features.py:218-228), then the OpenL3 mel frontend.
+    """
+    from gcn_song_embeddings_tpu.features import _mel_power
+
+    clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
+    if sr != OPENL3_SR:
+        clips = np.stack([resample_linear(c, sr, OPENL3_SR) for c in clips])
+    win = int(OPENL3_SR * window_s)
+    hop = int(OPENL3_SR * hop_s)
+    n = clips.shape[1]
+    starts = list(range(0, max(n - win, 0) + 1, hop)) or [0]
+    if clips.shape[1] < win:
+        clips = np.pad(clips, ((0, 0), (0, win - n)))
+    wins = np.stack([clips[:, s:s + win] for s in starts], axis=1)
+    flat = wins.reshape(-1, win)
+    fb = mel_filterbank(OPENL3_MELS, OPENL3_NFFT, OPENL3_SR)
+    window = hann_window(OPENL3_NFFT)
+    mel = _mel_power(jnp.asarray(flat), jnp.asarray(fb),
+                     jnp.asarray(window), OPENL3_NFFT, OPENL3_HOP,
+                     center=True)                       # [BW, F, mels]
+    mel = jnp.transpose(mel, (0, 2, 1))[:, :, :OPENL3_FRAMES]
+    if mel.shape[2] < OPENL3_FRAMES:
+        mel = jnp.pad(mel, ((0, 0), (0, 0),
+                            (0, OPENL3_FRAMES - mel.shape[2])))
+    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    db = db - db.max(axis=(1, 2), keepdims=True)        # ref=max dB scaling
+    return np.asarray(db), len(starts)
+
+
+# ---------------------------------------------------------------- VGGish
+
+VGGISH_SR = 16_000
+VGGISH_MELS = 64
+VGGISH_FRAMES = 96
+_VGG_CONVS = ((1, 64), (64, 128), (128, 256), (256, 256), (256, 512),
+              (512, 512))
+_VGG_LAYOUT = ((0,), (1,), (2, 3), (4, 5))  # conv indices per pool group
+
+
+def init_vggish(seed: int = 0) -> dict:
+    keys = jax.random.split(jax.random.PRNGKey(seed), 9)
+    p: dict = {}
+    for i, (cin, cout) in enumerate(_VGG_CONVS):
+        p[f"conv{i}"] = _init_conv(keys[i], 3, 3, cin, cout)
+    p["fc0"] = _init_fc(keys[6], 6 * 4 * 512, 4096)
+    p["fc1"] = _init_fc(keys[7], 4096, 4096)
+    p["fc2"] = _init_fc(keys[8], 4096, 128)
+    return p
+
+
+@jax.jit
+def vggish_forward(params: dict, log_mel: jnp.ndarray):
+    """[B, 96, 64] log-mel patches -> [B, 128] embeddings."""
+    x = log_mel[..., None]
+    ci = 0
+    for group in _VGG_LAYOUT:
+        for _ in group:
+            c = params[f"conv{ci}"]
+            x = jax.nn.relu(_conv2d(x, c["w"], c["b"]))
+            ci += 1
+        x = _maxpool(x, (2, 2))
+    x = x.reshape(x.shape[0], -1)                        # [B, 6*4*512]
+    x = jax.nn.relu(x @ params["fc0"]["w"] + params["fc0"]["b"])
+    x = jax.nn.relu(x @ params["fc1"]["w"] + params["fc1"]["b"])
+    x = jax.nn.relu(x @ params["fc2"]["w"] + params["fc2"]["b"])
+    return x.astype(jnp.float32)
+
+
+def vggish_log_mel_patches(clips: np.ndarray, sr: int = SAMPLE_RATE
+                           ) -> tuple[np.ndarray, int]:
+    """[B, samples]@sr -> ([B*P, 96, 64] log-mel patches, P patches/clip).
+
+    VGGish frontend: 16 kHz, 25 ms window / 10 ms hop, 64 mel bands,
+    log(mel + 0.01), non-overlapping 0.96 s patches.
+    """
+    from gcn_song_embeddings_tpu.features import _mel_power
+
+    clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
+    if sr != VGGISH_SR:
+        clips = np.stack([resample_linear(c, sr, VGGISH_SR) for c in clips])
+    n_fft, hop = 400, 160                                 # 25 ms / 10 ms
+    fb = mel_filterbank(VGGISH_MELS, n_fft, VGGISH_SR)
+    window = hann_window(n_fft)
+    mel = _mel_power(jnp.asarray(clips), jnp.asarray(fb),
+                     jnp.asarray(window), n_fft, hop,
+                     center=False)                        # [B, F, 64]
+    logmel = np.asarray(jnp.log(mel + 0.01))
+    n_frames = logmel.shape[1]
+    n_patches = max(n_frames // VGGISH_FRAMES, 1)
+    if n_frames < VGGISH_FRAMES:
+        logmel = np.pad(logmel,
+                        ((0, 0), (0, VGGISH_FRAMES - n_frames), (0, 0)))
+    patches = logmel[:, : n_patches * VGGISH_FRAMES].reshape(
+        logmel.shape[0], n_patches, VGGISH_FRAMES, VGGISH_MELS)
+    return patches.reshape(-1, VGGISH_FRAMES, VGGISH_MELS), n_patches
+
+
+_warned: set = set()
+
+
+def warn_untrained(name: str) -> None:
+    if name not in _warned:
+        _warned.add(name)
+        print(f"WARNING: {name} running with RANDOM-INIT weights — features "
+              "are untrained structured projections. Pass weights_path= "
+              "(npz from the official release) for real embeddings.",
+              file=sys.stderr)

@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--feature-dim", type=int, default=512)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batches-per-epoch", type=int, default=500)
+    ap.add_argument("--margin", type=float, default=0.1)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--work-dir", default=None)
     args = ap.parse_args()
 
@@ -86,15 +88,15 @@ def main() -> None:
     log(f"graph: {g.n_items} tracks, {g.n_cols} playlists, "
         f"{dg.n_edges} directed edges")
 
-    # NOTE: margin uses 0.1, not the reference default 1e-5 — at catalog
-    # scale the reference margin is satisfied immediately and the embedding
-    # never organizes (measured: hit@100 0.003 at margin=1e-5 vs 0.206 at
-    # margin=0.1 on the 100k synthetic benchmark).
-    cfg = config_with_overrides(RunConfig(run_name="scale_demo"), {
+    # Margin defaults to 0.1 (vs the reference's 1e-5); both are a --margin
+    # flag away — see RESULTS.md "Quality" for measured hit@100 at each
+    # setting under the f32-accurate rank evaluator.
+    run_name = f"scale_demo_m{args.margin:g}_lr{args.lr:g}"
+    cfg = config_with_overrides(RunConfig(run_name=run_name), {
         "train.epochs": args.epochs,
         "train.batches_per_epoch": args.batches_per_epoch,
-        "train.lr": 1e-3,
-        "train.margin": 0.1,
+        "train.lr": args.lr,
+        "train.margin": args.margin,
         "walk.batch_walkers": 8192,
     })
     with timer.phase("precompute"):

@@ -92,9 +92,48 @@ def test_random_features_deterministic_dim():
     assert out.shape == (4, 32)
 
 
-def test_openl3_stub_raises():
-    with pytest.raises(RuntimeError, match="OpenL3"):
-        F.OpenL3().embed_batch(np.zeros((1, 10)))
+def test_openl3_native_network(tmp_path):
+    """OpenL3 runs as a native JAX CNN: correct shapes, deterministic by
+    seed, weight save/load roundtrip, window framing (1 s / hop 2 s)."""
+    from gcn_song_embeddings_tpu.models import audio_embedders as ae
+
+    sr = F.SAMPLE_RATE
+    t = np.arange(3 * sr) / sr                       # 3 s -> 2 windows
+    clips = np.stack([np.sin(2 * np.pi * 440 * t),
+                      np.sin(2 * np.pi * 1760 * t)]).astype(np.float32)
+
+    wins, n_win = ae.openl3_mel_windows(clips)
+    assert n_win == 2 and wins.shape == (4, 128, 199)
+
+    m = F.OpenL3(seed=1)
+    emb = m.embed_batch(clips)
+    assert emb.shape == (2, 512) and np.isfinite(emb).all()
+    # different tones separate even with random-init weights
+    assert not np.allclose(emb[0], emb[1])
+    # deterministic by seed
+    np.testing.assert_array_equal(emb, F.OpenL3(seed=1).embed_batch(clips))
+    assert not np.allclose(emb, F.OpenL3(seed=2).embed_batch(clips))
+
+    # weights artifact roundtrip
+    path = str(tmp_path / "openl3.npz")
+    ae.save_weights(m.params, path)
+    emb2 = F.OpenL3(weights_path=path).embed_batch(clips)
+    np.testing.assert_allclose(emb, emb2, rtol=1e-6)
+
+
+def test_vggish_native_network():
+    from gcn_song_embeddings_tpu.models import audio_embedders as ae
+
+    sr = F.SAMPLE_RATE
+    t = np.arange(2 * sr) / sr                       # 2 s -> 2 patches
+    clips = np.sin(2 * np.pi * 440 * t)[None].astype(np.float32)
+
+    patches, n_p = ae.vggish_log_mel_patches(clips)
+    assert n_p == 2 and patches.shape == (2, 96, 64)
+
+    emb = F.VGGish(seed=0).embed_batch(clips)
+    assert emb.shape == (1, 128) and np.isfinite(emb).all()
+    np.testing.assert_array_equal(emb, F.VGGish(seed=0).embed_batch(clips))
 
 
 # ------------------------------------------------------------- positives
