@@ -90,12 +90,15 @@ def cmd_prepare(args) -> None:
     dashboard.py:18-45)."""
     from gcn_song_embeddings_tpu import features as F
 
+    weights = getattr(args, "feature_weights", None)
     if args.features == "random":
         emb = F.RandomFeatures(dim=512, seed=args.seed)
     elif args.features == "mfcc":
         emb = F.MFCC()
     elif args.features == "openl3":
-        emb = F.OpenL3()
+        emb = F.OpenL3(weights_path=weights, seed=args.seed)
+    elif args.features == "vggish2":
+        emb = F.VGGish(weights_path=weights, seed=args.seed)
     else:
         raise SystemExit(f"unknown feature model {args.features!r}")
     F.generate_features(args.dataset, emb)
@@ -309,6 +312,10 @@ def main(argv=None) -> None:
         common(sp)
         if verb in ("prepare", "all"):
             sp.add_argument("--gen-positives", action="store_true")
+            sp.add_argument("--feature-weights", default=None,
+                            help="npz weights for openl3/vggish2 "
+                                 "(models/audio_embedders.py); default "
+                                 "random-init (untrained)")
         if verb in ("train", "all"):
             sp.add_argument("--no-resume", action="store_true")
             sp.add_argument("--mesh-graph", type=int, default=0,

@@ -272,6 +272,110 @@ def vggish_log_mel_patches(clips: np.ndarray, sr: int = SAMPLE_RATE
     return patches.reshape(-1, VGGISH_FRAMES, VGGISH_MELS), n_patches
 
 
+# ------------------------------------------------- checkpoint conversion
+# Map a PyTorch state_dict (e.g. torchopenl3 audio model / torchvggish)
+# onto the pytrees above.  Matching is by ORDERED KIND+SHAPE, not name:
+# releases disagree on naming, but the architecture fixes the order of
+# conv / batch-norm / fc tensors (torch conv OIHW -> HWIO, fc [out,in] ->
+# [in,out]).  CLI wrapper: scripts/convert_audio_weights.py.
+
+def _iter_source_tensors(state_dict):
+    """Yield (name, np.ndarray) in insertion order, skipping buffers like
+    num_batches_tracked."""
+    for name, t in state_dict.items():
+        arr = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
+                         else t)
+        if arr.ndim == 0:            # e.g. num_batches_tracked
+            continue
+        yield name, arr
+
+
+def collect_streams(state_dict, bn_names=("bn", "batchnorm", "batch_norm",
+                                          "running_")):
+    """Split a state_dict into ordered streams, pairing conv/fc weights
+    with the 1-D bias that follows them and BN stats with their layer."""
+    conv, fc, bn = [], [], []
+    items = list(_iter_source_tensors(state_dict))
+    i = 0
+    while i < len(items):
+        name, arr = items[i]
+        low = name.lower()
+        if arr.ndim == 4:                       # conv weight (+ maybe bias)
+            w = arr.transpose(2, 3, 1, 0)
+            b = None
+            if i + 1 < len(items) and items[i + 1][1].ndim == 1 and \
+                    "bias" in items[i + 1][0].lower() and \
+                    items[i + 1][1].shape[0] == w.shape[3]:
+                b = items[i + 1][1]
+                i += 1
+            conv.append((w, b))
+        elif arr.ndim == 2:                     # fc weight (+ maybe bias)
+            w = arr.T
+            b = None
+            if i + 1 < len(items) and items[i + 1][1].ndim == 1 and \
+                    items[i + 1][1].shape[0] == w.shape[1]:
+                b = items[i + 1][1]
+                i += 1
+            fc.append((w, b))
+        elif arr.ndim == 1 and any(k in low for k in bn_names):
+            # torch BN order: weight, bias, running_mean, running_var
+            gamma = arr
+            beta, mean, var = (items[i + 1][1], items[i + 2][1],
+                               items[i + 3][1])
+            i += 3
+            bn.append({"gamma": gamma, "beta": beta,
+                       "mean": mean, "var": var})
+        i += 1
+    return conv, fc, bn
+
+
+def _fill_conv(slot, conv_stream):
+    w, b = conv_stream.pop(0)
+    assert w.shape == slot["w"].shape, (w.shape, slot["w"].shape)
+    slot["w"] = w.astype(np.float32)
+    if b is not None:
+        slot["b"] = b.astype(np.float32)
+
+
+def _fill_bn(slot, bn_stream):
+    p = bn_stream.pop(0)
+    for k in ("gamma", "beta", "mean", "var"):
+        assert p[k].shape == slot[k].shape, (k, p[k].shape, slot[k].shape)
+        slot[k] = p[k].astype(np.float32)
+
+
+def convert_openl3(state_dict) -> dict:
+    params = init_openl3()
+    conv, _fc, bn = collect_streams(state_dict)
+    assert len(conv) == 8, f"expected 8 convs, found {len(conv)}"
+    assert len(bn) >= 9, f"expected >=9 BN layers, found {len(bn)}"
+    _fill_bn(params["bn_in"], bn)
+    for bi in range(4):
+        blk = params[f"block{bi}"]
+        _fill_conv(blk["conv0"], conv)
+        _fill_bn(blk["bn0"], bn)
+        _fill_conv(blk["conv1"], conv)
+        _fill_bn(blk["bn1"], bn)
+    return params
+
+
+def convert_vggish(state_dict) -> dict:
+    params = init_vggish()
+    conv, fc, _bn = collect_streams(state_dict)
+    assert len(conv) == 6, f"expected 6 convs, found {len(conv)}"
+    assert len(fc) == 3, f"expected 3 fc layers, found {len(fc)}"
+    for i in range(6):
+        _fill_conv(params[f"conv{i}"], conv)
+    for i in range(3):
+        w, b = fc.pop(0)
+        assert w.shape == params[f"fc{i}"]["w"].shape, \
+            (w.shape, params[f"fc{i}"]["w"].shape)
+        params[f"fc{i}"]["w"] = w.astype(np.float32)
+        if b is not None:
+            params[f"fc{i}"]["b"] = b.astype(np.float32)
+    return params
+
+
 _warned: set = set()
 
 

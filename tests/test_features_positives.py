@@ -298,3 +298,89 @@ def test_lfm_id_resolution_chain(tmp_path):
     matched = match_lfm_events_to_catalog(named, tracks)
     pairs = generate_lfm_positives(matched)
     assert pairs == [{"a": "id1", "b": "id2"}]
+
+
+def test_checkpoint_conversion_torch_parity():
+    """convert_openl3/convert_vggish map a torch state_dict onto our
+    pytrees such that the JAX forward MATCHES the torch forward (eval
+    mode) — validates conv OIHW->HWIO orientation, BN folding (keras eps
+    1e-3), fc transposition, pooling, and the NHWC flatten convention
+    (torchvggish transposes NCHW->NHWC before its flatten)."""
+    import torch
+
+    from gcn_song_embeddings_tpu.models import audio_embedders as ae
+
+    torch.manual_seed(0)
+
+    # --- OpenL3: torch mirror of the L3 audio subnetwork
+    blocks = []
+    layers = {}
+    layers["bn_in"] = torch.nn.BatchNorm2d(1, eps=1e-3)
+    cins = [1, 64, 128, 256]
+    couts = [64, 128, 256, 512]
+    mods = [("bn_in", layers["bn_in"])]
+    for bi in range(4):
+        c0 = torch.nn.Conv2d(cins[bi], couts[bi], 3, padding=1)
+        b0 = torch.nn.BatchNorm2d(couts[bi], eps=1e-3)
+        c1 = torch.nn.Conv2d(couts[bi], couts[bi], 3, padding=1)
+        b1 = torch.nn.BatchNorm2d(couts[bi], eps=1e-3)
+        blocks.append((c0, b0, c1, b1))
+        mods += [(f"c{bi}0", c0), (f"bn{bi}0", b0),
+                 (f"c{bi}1", c1), (f"bn{bi}1", b1)]
+    model = torch.nn.Sequential()  # container to get an ordered state_dict
+    for name, m in mods:
+        model.add_module(name, m)
+    model.eval()
+    # randomize BN stats so folding is actually exercised
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+            m.weight.data.normal_(1, 0.2)
+            m.bias.data.normal_(0, 0.2)
+
+    x = torch.randn(2, 1, 128, 199)
+    with torch.no_grad():
+        h = layers["bn_in"](x)
+        for bi, (c0, b0, c1, b1) in enumerate(blocks):
+            h = torch.relu(b0(c0(h)))
+            h = torch.relu(b1(c1(h)))
+            if bi < 3:
+                h = torch.nn.functional.max_pool2d(h, 2)
+        h = torch.nn.functional.max_pool2d(h, (16, 24))
+        ref = h.reshape(2, -1).numpy()
+
+    params = ae.convert_openl3(model.state_dict())
+    got = np.asarray(ae.openl3_forward(params, x.numpy()[:, 0]))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    # --- VGGish: torch mirror with torchvggish's NCHW->NHWC pre-flatten
+    convs = [torch.nn.Conv2d(cin, cout, 3, padding=1)
+             for cin, cout in ((1, 64), (64, 128), (128, 256), (256, 256),
+                               (256, 512), (512, 512))]
+    fcs = [torch.nn.Linear(6 * 4 * 512, 4096), torch.nn.Linear(4096, 4096),
+           torch.nn.Linear(4096, 128)]
+    vmodel = torch.nn.Sequential()
+    for i, c in enumerate(convs):
+        vmodel.add_module(f"conv{i}", c)
+    for i, f in enumerate(fcs):
+        vmodel.add_module(f"fc{i}", f)
+    vmodel.eval()
+
+    x = torch.randn(2, 1, 96, 64)
+    with torch.no_grad():
+        h = x
+        ci = 0
+        for group in ((0,), (1,), (2, 3), (4, 5)):
+            for _ in group:
+                h = torch.relu(convs[ci](h))
+                ci += 1
+            h = torch.nn.functional.max_pool2d(h, 2)
+        h = h.permute(0, 2, 3, 1).contiguous().view(2, -1)  # NHWC flatten
+        for f in fcs:
+            h = torch.relu(f(h))
+        vref = h.numpy()
+
+    vparams = ae.convert_vggish(vmodel.state_dict())
+    vgot = np.asarray(ae.vggish_forward(vparams, x.numpy()[:, 0]))
+    np.testing.assert_allclose(vgot, vref, rtol=1e-4, atol=1e-4)
