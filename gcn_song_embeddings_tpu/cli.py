@@ -285,7 +285,8 @@ def main(argv=None) -> None:
     def common(sp):
         sp.add_argument("--dataset", required=True)
         sp.add_argument("--features", default="random",
-                        help="feature model name (random|mfcc|openl3)")
+                        help="feature model name "
+                             "(random|mfcc|openl3|vggish2)")
         sp.add_argument("--positives", default=None,
                         help="positives filename inside the dataset dir")
         sp.add_argument("--run-name", default="pinsage_tpu")

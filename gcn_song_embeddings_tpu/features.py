@@ -78,11 +78,14 @@ def resample_linear(y: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 # ------------------------------------------------------- device DSP (jax)
 
 
-def mel_filterbank(n_mels: int, n_fft: int, sr: int) -> np.ndarray:
+def mel_filterbank(n_mels: int, n_fft: int, sr: int,
+                   fmin: float = 0.0, fmax: float | None = None
+                   ) -> np.ndarray:
     """Triangular mel filterbank [n_mels, n_fft//2 + 1] built exactly like
     torchaudio's `melscale_fbanks` defaults (HTK mel scale, norm=None):
     filters are triangles in CONTINUOUS frequency over the rfft bin centers
-    `linspace(0, sr/2, n_fft//2 + 1)`, not snapped to integer bins."""
+    `linspace(0, sr/2, n_fft//2 + 1)`, not snapped to integer bins.
+    `fmin`/`fmax` bound the mel band edges (VGGish uses 125-7500 Hz)."""
     def hz_to_mel(f):
         return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64)
                                  / 700.0)
@@ -90,8 +93,9 @@ def mel_filterbank(n_mels: int, n_fft: int, sr: int) -> np.ndarray:
     def mel_to_hz(m):
         return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
 
+    fmax = sr / 2 if fmax is None else fmax
     all_freqs = np.linspace(0.0, sr / 2, n_fft // 2 + 1)
-    f_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2),
+    f_pts = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax),
                                   n_mels + 2))
     f_diff = np.diff(f_pts)                              # [n_mels + 1]
     slopes = f_pts[None, :] - all_freqs[:, None]         # [n_bins, n_mels+2]
@@ -118,12 +122,14 @@ def dct_matrix(n_out: int, n_in: int) -> np.ndarray:
 
 
 def _mel_power(clips, fb, window, n_fft: int, hop: int,
-               center: bool = False):
-    """Shared DSP core: [B, samples] -> [B, frames, n_mels] mel power.
+               center: bool = False, power: float = 2.0):
+    """Shared DSP core: [B, samples] -> [B, frames, n_mels] mel spectrum.
 
     Framing is a gather + reshape, the mel projection is one MXU einsum.
     `center=True` reflect-pads n_fft//2 each side (torchaudio's default
-    framing), which also makes clips shorter than n_fft well-defined."""
+    framing), which also makes clips shorter than n_fft well-defined.
+    `power=2.0` projects the power spectrum |fft|^2 (torchaudio default);
+    `power=1.0` the magnitude |fft| (VGGish's mel_features convention)."""
     import jax.numpy as jnp
 
     n = clips.shape[1]
@@ -140,7 +146,9 @@ def _mel_power(clips, fb, window, n_fft: int, hop: int,
     idx = (np.arange(n_frames)[:, None] * hop
            + np.arange(n_fft)[None, :])
     frames = clips[:, idx] * window[None, None, :]       # [B, F, n_fft]
-    spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2   # [B, F, n_fft/2+1]
+    spec = jnp.abs(jnp.fft.rfft(frames, axis=-1))        # [B, F, n_fft/2+1]
+    if power != 1.0:
+        spec = spec ** power
     return jnp.einsum("bfk,mk->bfm", spec, fb,
                       preferred_element_type=jnp.float32)
 
@@ -271,11 +279,13 @@ class OpenL3(Embedder):
     dim = 512
 
     def __init__(self, weights_path: str | None = None, seed: int = 0,
-                 window_s: float = 1.0, hop_s: float = 2.0):
+                 window_s: float = 1.0, hop_s: float = 2.0,
+                 clips_per_chunk: int = 8):
         from gcn_song_embeddings_tpu.models import audio_embedders as ae
 
         self._ae = ae
         self.window_s, self.hop_s = window_s, hop_s
+        self.clips_per_chunk = clips_per_chunk
         if weights_path:
             self.params = ae.load_weights(weights_path)
         else:
@@ -283,11 +293,20 @@ class OpenL3(Embedder):
             ae.warn_untrained("OpenL3")
 
     def embed_batch(self, clips: np.ndarray) -> np.ndarray:
+        # Chunk at the CLIP level: a 30 s clip expands to 15 windows whose
+        # first-conv activations alone are ~6.5 MB x 64 ch each — running
+        # generate_features' 512-clip batches through one forward would
+        # need tens of GB.  8 clips/chunk keeps peak activations ~1 GB.
         ae = self._ae
-        wins, n_win = ae.openl3_mel_windows(clips, window_s=self.window_s,
-                                            hop_s=self.hop_s)
-        emb = np.asarray(ae.openl3_forward(self.params, wins, self.dim))
-        return emb.reshape(-1, n_win, self.dim).mean(axis=1)
+        clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
+        out = []
+        for s in range(0, clips.shape[0], self.clips_per_chunk):
+            wins, n_win = ae.openl3_mel_windows(
+                clips[s:s + self.clips_per_chunk],
+                window_s=self.window_s, hop_s=self.hop_s)
+            emb = np.asarray(ae.openl3_forward(self.params, wins, self.dim))
+            out.append(emb.reshape(-1, n_win, self.dim).mean(axis=1))
+        return np.concatenate(out, axis=0)
 
 
 class VGGish(Embedder):
@@ -300,10 +319,12 @@ class VGGish(Embedder):
     name = "vggish2"
     dim = 128
 
-    def __init__(self, weights_path: str | None = None, seed: int = 0):
+    def __init__(self, weights_path: str | None = None, seed: int = 0,
+                 clips_per_chunk: int = 16):
         from gcn_song_embeddings_tpu.models import audio_embedders as ae
 
         self._ae = ae
+        self.clips_per_chunk = clips_per_chunk
         if weights_path:
             self.params = ae.load_weights(weights_path)
         else:
@@ -311,10 +332,17 @@ class VGGish(Embedder):
             ae.warn_untrained("VGGish")
 
     def embed_batch(self, clips: np.ndarray) -> np.ndarray:
+        # Clip-level chunking for the same reason as OpenL3.embed_batch:
+        # 30 s -> 31 patches/clip; bound peak conv activations.
         ae = self._ae
-        patches, n_p = ae.vggish_log_mel_patches(clips)
-        emb = np.asarray(ae.vggish_forward(self.params, patches))
-        return emb.reshape(-1, n_p, self.dim).mean(axis=1)
+        clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
+        out = []
+        for s in range(0, clips.shape[0], self.clips_per_chunk):
+            patches, n_p = ae.vggish_log_mel_patches(
+                clips[s:s + self.clips_per_chunk])
+            emb = np.asarray(ae.vggish_forward(self.params, patches))
+            out.append(emb.reshape(-1, n_p, self.dim).mean(axis=1))
+        return np.concatenate(out, axis=0)
 
 
 class MusicNN(Embedder):

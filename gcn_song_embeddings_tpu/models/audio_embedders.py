@@ -256,11 +256,14 @@ def vggish_log_mel_patches(clips: np.ndarray, sr: int = SAMPLE_RATE
     if sr != VGGISH_SR:
         clips = np.stack([resample_linear(c, sr, VGGISH_SR) for c in clips])
     n_fft, hop = 400, 160                                 # 25 ms / 10 ms
-    fb = mel_filterbank(VGGISH_MELS, n_fft, VGGISH_SR)
+    # VGGish's mel_features convention: MAGNITUDE spectrogram (power=1)
+    # through a 125-7500 Hz filterbank, then log(mel + 0.01).
+    fb = mel_filterbank(VGGISH_MELS, n_fft, VGGISH_SR,
+                        fmin=125.0, fmax=7500.0)
     window = hann_window(n_fft)
     mel = _mel_power(jnp.asarray(clips), jnp.asarray(fb),
                      jnp.asarray(window), n_fft, hop,
-                     center=False)                        # [B, F, 64]
+                     center=False, power=1.0)             # [B, F, 64]
     logmel = np.asarray(jnp.log(mel + 0.01))
     n_frames = logmel.shape[1]
     n_patches = max(n_frames // VGGISH_FRAMES, 1)

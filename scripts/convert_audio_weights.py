@@ -35,7 +35,9 @@ def main() -> None:
         save_weights,
     )
 
-    sd = torch.load(args.src, map_location="cpu")
+    # weights_only=False: full pickled model objects are a supported input
+    # (torch >= 2.6 defaults to weights_only=True, which rejects them)
+    sd = torch.load(args.src, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     params = (convert_openl3 if args.model == "openl3"
