@@ -48,7 +48,11 @@ class EmbeddingIndex:
     HBM, int8 MXU contraction — ops/quantize.py).  Measured quality cost on
     trained (tightly clustered) embeddings: hit@100 drops ~1% and MRR ~10%
     (near-tie rank shuffles); keep the f32 index when exact rank order
-    matters."""
+    matters.  In particular, embeddings trained at the reference's tiny
+    margin (1e-5) separate by ~1e-4 cosine — BELOW int8 resolution — so
+    quantized serving of them returns noise; train with margin >= 0.1
+    (RunConfig.recommended()) before enabling it (RESULTS.md "Matmul
+    precision")."""
 
     def __init__(self, embeddings: np.ndarray,
                  track_ids: Optional[list[str]] = None,
