@@ -99,6 +99,8 @@ def cmd_prepare(args) -> None:
         emb = F.OpenL3(weights_path=weights, seed=args.seed)
     elif args.features == "vggish2":
         emb = F.VGGish(weights_path=weights, seed=args.seed)
+    elif args.features == "musicnn":
+        emb = F.MusicNN(weights_path=weights, seed=args.seed)
     else:
         raise SystemExit(f"unknown feature model {args.features!r}")
     F.generate_features(args.dataset, emb)
@@ -286,7 +288,7 @@ def main(argv=None) -> None:
         sp.add_argument("--dataset", required=True)
         sp.add_argument("--features", default="random",
                         help="feature model name "
-                             "(random|mfcc|openl3|vggish2)")
+                             "(random|mfcc|openl3|vggish2|musicnn)")
         sp.add_argument("--positives", default=None,
                         help="positives filename inside the dataset dir")
         sp.add_argument("--run-name", default="pinsage_tpu")

@@ -346,14 +346,38 @@ class VGGish(Embedder):
 
 
 class MusicNN(Embedder):
-    """Stub (reference generate_node_features.py:251-271, commented out)."""
+    """musicnn-style audio embedder (reference
+    generate_node_features.py:251-271, commented out): timbral (mel-span)
+    + temporal (envelope) front-end convolutions, residual midend, 200-d
+    penultimate dense backend over 3 s log-mel patches, mean-pooled
+    (models/audio_embedders.py).  `weights_path` restores an .npz; else
+    seeded random-init with a one-time untrained warning."""
 
     name = "musicnn"
     dim = 200
 
-    def embed_batch(self, clips):
-        raise RuntimeError("MusicNN needs pretrained weights, unavailable "
-                           "offline; load precomputed vectors via EmbLoader.")
+    def __init__(self, weights_path: str | None = None, seed: int = 0,
+                 clips_per_chunk: int = 16):
+        from gcn_song_embeddings_tpu.models import audio_embedders as ae
+
+        self._ae = ae
+        self.clips_per_chunk = clips_per_chunk
+        if weights_path:
+            self.params = ae.load_weights(weights_path)
+        else:
+            self.params = ae.init_musicnn(seed)
+            ae.warn_untrained("MusicNN")
+
+    def embed_batch(self, clips: np.ndarray) -> np.ndarray:
+        ae = self._ae
+        clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
+        out = []
+        for s in range(0, clips.shape[0], self.clips_per_chunk):
+            patches, n_p = ae.musicnn_log_mel_patches(
+                clips[s:s + self.clips_per_chunk])
+            emb = np.asarray(ae.musicnn_forward(self.params, patches))
+            out.append(emb.reshape(-1, n_p, self.dim).mean(axis=1))
+        return np.concatenate(out, axis=0)
 
 
 def generate_features(dataset_dir: str, embedder: Embedder,

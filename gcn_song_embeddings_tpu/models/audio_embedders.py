@@ -1,4 +1,4 @@
-"""Audio embedding networks (OpenL3 / VGGish) as functional JAX CNNs.
+"""Audio embedding networks (OpenL3 / VGGish / MusicNN) as functional JAX CNNs.
 
 The reference consumes these as pip packages with downloaded pretrained
 weights (torchopenl3 — generate_node_features.py:209-229; VGGish commented
@@ -29,6 +29,13 @@ Shapes follow the published models:
     10 ms hop, 125-7500 Hz, log(mel + 0.01)); convs 64, 128, 256x2, 512x2
     with 2x2 pools -> flatten -> fc 4096 x2 -> fc 128 (ReLU); patches
     mean-pooled.
+
+  MusicNN (musically-motivated CNN, 200-d penultimate):
+    16 kHz, 3 s patches of 187 frames x 96 log-mels; timbral (mel-span)
+    and temporal (envelope) front-end filters, 3 residual 1-D midend
+    convs, temporal mean+max pool -> dense 200; patches mean-pooled.
+    (Structure per the musicnn paper; no converter is shipped for its TF
+    checkpoints — weight-compat is best-effort via the .npz layout.)
 """
 
 from __future__ import annotations
@@ -389,3 +396,120 @@ def warn_untrained(name: str) -> None:
               "are untrained structured projections. Pass weights_path= "
               "(npz from the official release) for real embeddings.",
               file=sys.stderr)
+
+
+# ---------------------------------------------------------------- MusicNN
+
+MUSICNN_SR = 16_000
+MUSICNN_MELS = 96
+MUSICNN_FRAMES = 187          # 3 s at hop 256: floor(48000 / 256) = 187
+MUSICNN_DIM = 200             # penultimate dense layer width
+
+# musically-motivated front-end (Pons & Serra, musicnn):
+# timbral filters span 0.4 / 0.7 of the mel axis; temporal filters are
+# 1-D convs over the mel-averaged energy envelope.
+_MCNN_TIMBRAL = ((7, 38, 128), (7, 67, 128))      # (kt, kf, channels)
+_MCNN_TEMPORAL = ((32, 32), (64, 32), (128, 32), (165, 32))  # (kt, ch)
+_MCNN_MID_CH = 64
+
+
+def init_musicnn(seed: int = 0) -> dict:
+    keys = jax.random.split(jax.random.PRNGKey(seed), 12)
+    p: dict = {"bn_in": _init_bn(1)}
+    ki = 0
+    for i, (kt, kf, ch) in enumerate(_MCNN_TIMBRAL):
+        p[f"timbral{i}"] = {"conv": _init_conv(keys[ki], kt, kf, 1, ch),
+                            "bn": _init_bn(ch)}
+        ki += 1
+    for i, (kt, ch) in enumerate(_MCNN_TEMPORAL):
+        p[f"temporal{i}"] = {"conv": _init_conv(keys[ki], kt, 1, 1, ch),
+                             "bn": _init_bn(ch)}
+        ki += 1
+    front_ch = (sum(c for _, _, c in _MCNN_TIMBRAL)
+                + sum(c for _, c in _MCNN_TEMPORAL))
+    p["mid0"] = {"conv": _init_conv(keys[ki], 7, 1, front_ch, _MCNN_MID_CH),
+                 "bn": _init_bn(_MCNN_MID_CH)}
+    p["mid1"] = {"conv": _init_conv(keys[ki + 1], 7, 1, _MCNN_MID_CH,
+                                    _MCNN_MID_CH), "bn": _init_bn(_MCNN_MID_CH)}
+    p["mid2"] = {"conv": _init_conv(keys[ki + 2], 7, 1, _MCNN_MID_CH,
+                                    _MCNN_MID_CH), "bn": _init_bn(_MCNN_MID_CH)}
+    back_in = 2 * (front_ch + 3 * _MCNN_MID_CH)   # mean+max temporal pool
+    p["dense"] = _init_fc(keys[ki + 3], back_in, MUSICNN_DIM)
+    p["bn_dense"] = _init_bn(MUSICNN_DIM)
+    return p
+
+
+@jax.jit
+def musicnn_forward(params: dict, log_mel: jnp.ndarray):
+    """[B, 187, 96] log-mel patches -> [B, 200] penultimate features.
+
+    musicnn-style stack: timbral (2-D, mel-spanning) + temporal (1-D over
+    the mel-mean envelope) front-end convolutions, each BN+ReLU and
+    max-pooled over the remaining mel extent; 3 residual 1-D midend convs
+    over the concatenated [frames, channels] map; temporal mean+max pool
+    and a 200-d dense layer (the capability of the reference's commented
+    MusicNN embedder, generate_node_features.py:251-271)."""
+    x = log_mel[..., None]                               # [B, T, M, 1]
+    x = _bn_apply(x, params["bn_in"])
+    feats = []
+    for i, (kt, kf, ch) in enumerate(_MCNN_TIMBRAL):
+        blk = params[f"timbral{i}"]
+        h = lax.conv_general_dilated(
+            x, blk["conv"]["w"], (1, 1),
+            padding=((kt // 2, kt // 2), (0, 0)),        # SAME in time only
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["conv"]["b"]
+        h = jax.nn.relu(_bn_apply(h, blk["bn"]))
+        feats.append(h.max(axis=2))                      # pool mel -> [B,T,ch]
+    env = x.mean(axis=2, keepdims=True)                  # [B, T, 1, 1]
+    for i, (kt, ch) in enumerate(_MCNN_TEMPORAL):
+        blk = params[f"temporal{i}"]
+        h = lax.conv_general_dilated(
+            env, blk["conv"]["w"], (1, 1),
+            padding=((kt // 2, (kt - 1) // 2), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["conv"]["b"]
+        h = jax.nn.relu(_bn_apply(h, blk["bn"]))
+        feats.append(h[:, :, 0, :])                      # [B, T, ch]
+    front = jnp.concatenate(feats, axis=2)               # [B, T, 384]
+
+    def mid(h, blk, residual):
+        y = lax.conv_general_dilated(
+            h[:, :, None, :], blk["conv"]["w"], (1, 1),
+            padding=((3, 3), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["conv"]["b"]
+        y = jax.nn.relu(_bn_apply(y, blk["bn"]))[:, :, 0, :]
+        return y + residual if residual is not None else y
+
+    m0 = mid(front, params["mid0"], None)
+    m1 = mid(m0, params["mid1"], m0)
+    m2 = mid(m1, params["mid2"], m1)
+    full = jnp.concatenate([front, m0, m1, m2], axis=2)  # [B, T, 576]
+    pooled = jnp.concatenate([full.mean(axis=1), full.max(axis=1)], axis=1)
+    out = pooled @ params["dense"]["w"] + params["dense"]["b"]
+    return jax.nn.relu(_bn_apply(out, params["bn_dense"])).astype(jnp.float32)
+
+
+def musicnn_log_mel_patches(clips: np.ndarray, sr: int = SAMPLE_RATE
+                            ) -> tuple[np.ndarray, int]:
+    """[B, samples]@sr -> ([B*P, 187, 96] log-mel patches, P patches/clip).
+
+    musicnn frontend: 16 kHz, n_fft 512 / hop 256, 96 mel bands,
+    log10(mel + 1e-6) (amin-floored), non-overlapping 3 s patches."""
+    from gcn_song_embeddings_tpu.features import _mel_power
+
+    clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
+    if sr != MUSICNN_SR:
+        clips = np.stack([resample_linear(c, sr, MUSICNN_SR) for c in clips])
+    n_fft, hop = 512, 256
+    fb = mel_filterbank(MUSICNN_MELS, n_fft, MUSICNN_SR)
+    window = hann_window(n_fft)
+    mel = _mel_power(jnp.asarray(clips), jnp.asarray(fb),
+                     jnp.asarray(window), n_fft, hop, center=False)
+    logmel = np.asarray(jnp.log10(jnp.maximum(mel, 1e-10) + 1e-6))
+    n_frames = logmel.shape[1]
+    n_patches = max(n_frames // MUSICNN_FRAMES, 1)
+    if n_frames < MUSICNN_FRAMES:
+        logmel = np.pad(logmel,
+                        ((0, 0), (0, MUSICNN_FRAMES - n_frames), (0, 0)))
+    patches = logmel[:, : n_patches * MUSICNN_FRAMES].reshape(
+        logmel.shape[0], n_patches, MUSICNN_FRAMES, MUSICNN_MELS)
+    return patches.reshape(-1, MUSICNN_FRAMES, MUSICNN_MELS), n_patches

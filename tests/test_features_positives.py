@@ -384,3 +384,26 @@ def test_checkpoint_conversion_torch_parity():
     vparams = ae.convert_vggish(vmodel.state_dict())
     vgot = np.asarray(ae.vggish_forward(vparams, x.numpy()[:, 0]))
     np.testing.assert_allclose(vgot, vref, rtol=1e-4, atol=1e-4)
+
+
+def test_musicnn_native_network(tmp_path):
+    from gcn_song_embeddings_tpu.models import audio_embedders as ae
+
+    sr = F.SAMPLE_RATE
+    t = np.arange(6 * sr) / sr                       # 6 s -> 2 patches
+    clips = np.stack([np.sin(2 * np.pi * 330 * t),
+                      np.sin(2 * np.pi * 2640 * t)]).astype(np.float32)
+
+    patches, n_p = ae.musicnn_log_mel_patches(clips)
+    assert n_p == 2 and patches.shape == (4, 187, 96)
+
+    m = F.MusicNN(seed=3)
+    emb = m.embed_batch(clips)
+    assert emb.shape == (2, 200) and np.isfinite(emb).all()
+    assert not np.allclose(emb[0], emb[1])           # tones separate
+    np.testing.assert_array_equal(emb, F.MusicNN(seed=3).embed_batch(clips))
+
+    path = str(tmp_path / "musicnn.npz")
+    ae.save_weights(m.params, path)
+    np.testing.assert_allclose(
+        emb, F.MusicNN(weights_path=path).embed_batch(clips), rtol=1e-6)
