@@ -9,10 +9,12 @@ is jax on device — framing is a reshape, the mel projection and the DCT are
 matmuls, so a batch of clips is three MXU ops (the reference loops librosa
 per window on the host).  Audio IO is host-side: stdlib `wave` for .wav and
 raw `.npy` waveforms (librosa/torchaudio are not available in this image;
-mp3 decoding is gated).  Pretrained embedders (OpenL3/VGGish/MusicNN) need
-downloaded weights, so they are declared stubs here — their OUTPUTS are
-consumed via EmbLoader exactly like the reference does
-(eval.py MODELS "OpenL3": EmbLoader(...)).
+mp3 decoding is gated).  The learned embedders (OpenL3/VGGish/MusicNN)
+run as native JAX CNNs (models/audio_embedders.py) — pretrained weights
+load from .npz (scripts/convert_audio_weights.py), random-init otherwise
+with an UNTRAINED warning; precomputed vectors also remain consumable via
+EmbLoader exactly like the reference (eval.py MODELS "OpenL3":
+EmbLoader(...)).
 
 Clip normalization matches the reference: resample to 16 kHz mono, cut/pad
 to 480000 samples = 30 s (generate_node_features.py:26-77).
@@ -129,24 +131,28 @@ def _mel_power(clips, fb, window, n_fft: int, hop: int,
     `center=True` reflect-pads n_fft//2 each side (torchaudio's default
     framing), which also makes clips shorter than n_fft well-defined.
     `power=2.0` projects the power spectrum |fft|^2 (torchaudio default);
-    `power=1.0` the magnitude |fft| (VGGish's mel_features convention)."""
+    `power=1.0` the magnitude |fft| (VGGish's mel_features convention).
+    A `window` shorter than `n_fft` frames with the window's length and
+    zero-pads each frame to `n_fft` before the rfft (VGGish: 400-sample
+    Hann window, 512-point FFT)."""
     import jax.numpy as jnp
 
+    win = window.shape[0]                                # frame length
     n = clips.shape[1]
     if center:
         clips = jnp.pad(clips, ((0, 0), (n_fft // 2, n_fft // 2)),
                         mode="reflect")
-        n_frames = 1 + n // hop
+        n_frames = 1 + (n + 2 * (n_fft // 2) - win) // hop
     else:
-        n_frames = 1 + (n - n_fft) // hop
+        n_frames = 1 + (n - win) // hop
     if n_frames < 1:
         raise ValueError(
-            f"clip too short: {n} samples < n_fft={n_fft} with center=False "
+            f"clip too short: {n} samples < window={win} with center=False "
             f"(pad the clip, or use center=True framing)")
     idx = (np.arange(n_frames)[:, None] * hop
-           + np.arange(n_fft)[None, :])
-    frames = clips[:, idx] * window[None, None, :]       # [B, F, n_fft]
-    spec = jnp.abs(jnp.fft.rfft(frames, axis=-1))        # [B, F, n_fft/2+1]
+           + np.arange(win)[None, :])
+    frames = clips[:, idx] * window[None, None, :]       # [B, F, win]
+    spec = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1))
     if power != 1.0:
         spec = spec ** power
     return jnp.einsum("bfk,mk->bfm", spec, fb,
@@ -299,6 +305,8 @@ class OpenL3(Embedder):
         # need tens of GB.  8 clips/chunk keeps peak activations ~1 GB.
         ae = self._ae
         clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
+        if clips.shape[0] == 0:
+            return np.zeros((0, self.dim), np.float32)
         out = []
         for s in range(0, clips.shape[0], self.clips_per_chunk):
             wins, n_win = ae.openl3_mel_windows(
@@ -336,6 +344,8 @@ class VGGish(Embedder):
         # 30 s -> 31 patches/clip; bound peak conv activations.
         ae = self._ae
         clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
+        if clips.shape[0] == 0:
+            return np.zeros((0, self.dim), np.float32)
         out = []
         for s in range(0, clips.shape[0], self.clips_per_chunk):
             patches, n_p = ae.vggish_log_mel_patches(
@@ -371,6 +381,8 @@ class MusicNN(Embedder):
     def embed_batch(self, clips: np.ndarray) -> np.ndarray:
         ae = self._ae
         clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
+        if clips.shape[0] == 0:
+            return np.zeros((0, self.dim), np.float32)
         out = []
         for s in range(0, clips.shape[0], self.clips_per_chunk):
             patches, n_p = ae.musicnn_log_mel_patches(

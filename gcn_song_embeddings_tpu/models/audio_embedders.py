@@ -41,7 +41,7 @@ Shapes follow the published models:
 from __future__ import annotations
 
 import sys
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -121,6 +121,19 @@ def _unflatten_params(flat):
     return tree
 
 
+@lru_cache(maxsize=8)
+def _cached_frontend(n_mels: int, n_fft: int, sr: int,
+                     fmin: float = 0.0, fmax: float | None = None,
+                     win_length: int | None = None):
+    """Device-resident (filterbank, window) per frontend config — built
+    once, not rebuilt/re-uploaded by every clip chunk (the chunked
+    embed_batch loops call the frontend thousands of times per catalog)."""
+    fb = jnp.asarray(mel_filterbank(n_mels, n_fft, sr, fmin=fmin,
+                                    fmax=fmax))
+    window = jnp.asarray(hann_window(win_length or n_fft))
+    return fb, window
+
+
 def save_weights(params: dict, path: str) -> None:
     np.savez(path, **_flatten_params(params))
 
@@ -197,11 +210,9 @@ def openl3_mel_windows(clips: np.ndarray, sr: int = SAMPLE_RATE,
         clips = np.pad(clips, ((0, 0), (0, win - n)))
     wins = np.stack([clips[:, s:s + win] for s in starts], axis=1)
     flat = wins.reshape(-1, win)
-    fb = mel_filterbank(OPENL3_MELS, OPENL3_NFFT, OPENL3_SR)
-    window = hann_window(OPENL3_NFFT)
-    mel = _mel_power(jnp.asarray(flat), jnp.asarray(fb),
-                     jnp.asarray(window), OPENL3_NFFT, OPENL3_HOP,
-                     center=True)                       # [BW, F, mels]
+    fb, window = _cached_frontend(OPENL3_MELS, OPENL3_NFFT, OPENL3_SR)
+    mel = _mel_power(jnp.asarray(flat), fb, window, OPENL3_NFFT,
+                     OPENL3_HOP, center=True)           # [BW, F, mels]
     mel = jnp.transpose(mel, (0, 2, 1))[:, :, :OPENL3_FRAMES]
     if mel.shape[2] < OPENL3_FRAMES:
         mel = jnp.pad(mel, ((0, 0), (0, 0),
@@ -262,14 +273,15 @@ def vggish_log_mel_patches(clips: np.ndarray, sr: int = SAMPLE_RATE
     clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
     if sr != VGGISH_SR:
         clips = np.stack([resample_linear(c, sr, VGGISH_SR) for c in clips])
-    n_fft, hop = 400, 160                                 # 25 ms / 10 ms
-    # VGGish's mel_features convention: MAGNITUDE spectrogram (power=1)
-    # through a 125-7500 Hz filterbank, then log(mel + 0.01).
-    fb = mel_filterbank(VGGISH_MELS, n_fft, VGGISH_SR,
-                        fmin=125.0, fmax=7500.0)
-    window = hann_window(n_fft)
-    mel = _mel_power(jnp.asarray(clips), jnp.asarray(fb),
-                     jnp.asarray(window), n_fft, hop,
+    # VGGish's mel_features convention: 25 ms (400-sample) Hann window,
+    # 10 ms hop, frames zero-padded to a 512-point FFT (next power of 2),
+    # MAGNITUDE spectrogram (power=1) through a 125-7500 Hz filterbank,
+    # then log(mel + 0.01).
+    n_fft, win_length, hop = 512, 400, 160
+    fb, window = _cached_frontend(VGGISH_MELS, n_fft, VGGISH_SR,
+                                  fmin=125.0, fmax=7500.0,
+                                  win_length=win_length)
+    mel = _mel_power(jnp.asarray(clips), fb, window, n_fft, hop,
                      center=False, power=1.0)             # [B, F, 64]
     logmel = np.asarray(jnp.log(mel + 0.01))
     n_frames = logmel.shape[1]
@@ -402,7 +414,7 @@ def warn_untrained(name: str) -> None:
 
 MUSICNN_SR = 16_000
 MUSICNN_MELS = 96
-MUSICNN_FRAMES = 187          # 3 s at hop 256: floor(48000 / 256) = 187
+MUSICNN_FRAMES = 187          # librosa.time_to_frames(3): 3s*16kHz/256
 MUSICNN_DIM = 200             # penultimate dense layer width
 
 # musically-motivated front-end (Pons & Serra, musicnn):
@@ -500,10 +512,12 @@ def musicnn_log_mel_patches(clips: np.ndarray, sr: int = SAMPLE_RATE
     if sr != MUSICNN_SR:
         clips = np.stack([resample_linear(c, sr, MUSICNN_SR) for c in clips])
     n_fft, hop = 512, 256
-    fb = mel_filterbank(MUSICNN_MELS, n_fft, MUSICNN_SR)
-    window = hann_window(n_fft)
-    mel = _mel_power(jnp.asarray(clips), jnp.asarray(fb),
-                     jnp.asarray(window), n_fft, hop, center=False)
+    fb, window = _cached_frontend(MUSICNN_MELS, n_fft, MUSICNN_SR)
+    # center=True (librosa's default framing, which musicnn uses): a 3 s
+    # clip yields 188 frames, so every full 3 s contributes one clean
+    # 187-frame patch without zero-fill.
+    mel = _mel_power(jnp.asarray(clips), fb, window, n_fft, hop,
+                     center=True)
     logmel = np.asarray(jnp.log10(jnp.maximum(mel, 1e-10) + 1e-6))
     n_frames = logmel.shape[1]
     n_patches = max(n_frames // MUSICNN_FRAMES, 1)

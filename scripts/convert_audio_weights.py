@@ -35,9 +35,16 @@ def main() -> None:
         save_weights,
     )
 
-    # weights_only=False: full pickled model objects are a supported input
-    # (torch >= 2.6 defaults to weights_only=True, which rejects them)
-    sd = torch.load(args.src, map_location="cpu", weights_only=False)
+    # Plain state_dicts load under the safe weights_only unpickler; fall
+    # back to full (arbitrary-code) unpickling only for pickled model
+    # objects, which torch >= 2.6 rejects by default.
+    try:
+        sd = torch.load(args.src, map_location="cpu", weights_only=True)
+    except Exception:
+        print("note: not a plain state_dict — falling back to full "
+              "unpickling (only convert checkpoints you trust)",
+              file=sys.stderr)
+        sd = torch.load(args.src, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     params = (convert_openl3 if args.model == "openl3"
