@@ -104,6 +104,18 @@ def unpack_nbhd_rows(rows: jnp.ndarray, T: int
             rows[:, T:])
 
 
+def pack_nbhds_np(nbhd_weights, nbhd_nodes, T: int):
+    """NumPy twin of pack_nbhds (same [N, 2T] bitcast layout, decoded by
+    unpack_nbhd_rows) for callers that pack on the host before sharding
+    the table across a mesh (parallel/train_step.py)."""
+    import numpy as np
+
+    w = np.ascontiguousarray(
+        np.asarray(nbhd_weights)[:, :T], dtype=np.float32).view(np.int32)
+    return np.concatenate(
+        [w, np.asarray(nbhd_nodes)[:, :T].astype(np.int32)], axis=1)
+
+
 def packed_nbhd_gather(packed: jnp.ndarray, T: int):
     """gather_nbhds(ids) closure over a pack_nbhds table (local HBM)."""
     def gather_nbhds(ids):

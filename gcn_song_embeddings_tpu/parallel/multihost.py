@@ -48,7 +48,25 @@ def initialize_multihost(coordinator_address: str | None = None,
     except Exception as e:
         if coordinator_address is not None or num_processes is not None:
             raise  # explicit multi-host request must not silently degrade
-        # no pod environment detected: single-process fallback
+        import os
+
+        # A pod environment that FAILED to initialize must not silently
+        # degrade either: one worker continuing single-process while its
+        # peers form the global mesh hangs every collective on the job.
+        # (TPU_WORKER_HOSTNAMES counts only when it lists MULTIPLE hosts —
+        # single-host TPU runtimes set it too.)
+        pod_hints = [v for v in (
+            "MEGASCALE_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "JAX_COORDINATOR_ADDRESS",
+        ) if os.environ.get(v)]
+        if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+            pod_hints.append("TPU_WORKER_HOSTNAMES")
+        if pod_hints:
+            raise RuntimeError(
+                f"jax.distributed auto-init failed ({e!r}) but pod "
+                f"environment variables are set ({pod_hints}); refusing "
+                f"to continue single-process on a multi-host job") from e
+        # genuinely no pod environment: single-process fallback
         import warnings
 
         warnings.warn(f"jax.distributed auto-init unavailable ({e!r}); "

@@ -35,6 +35,7 @@ from gcn_song_embeddings_tpu.config import RunConfig
 from gcn_song_embeddings_tpu.models.pinsage import (
     forward_with_gather,
     init_pinsage,
+    pack_nbhds_np,
     unpack_nbhd_rows,
 )
 from gcn_song_embeddings_tpu.parallel.gather import (
@@ -71,6 +72,13 @@ class ShardedTrainer:
             raise ValueError(
                 f"batch_size {cfg.train.batch_size} must divide over "
                 f"{d}x{g} devices")
+        if cfg.train.hard_negatives and cfg.train.hn_max > nbhds[1].shape[1]:
+            # same guard as the single-chip trainer: out-of-range ranks
+            # would otherwise be silently clamped by take_along_axis
+            raise ValueError(
+                f"hn_max={cfg.train.hn_max} exceeds the stored "
+                f"neighborhood width {nbhds[1].shape[1]} "
+                f"(precompute with t_precompute >= hn_max)")
 
         # Row-shard node tables over the graph axis (pad rows to g).
         n_pad = pad_to_multiple(n_items, g)
@@ -83,19 +91,24 @@ class ShardedTrainer:
         # Packed top-T (weights|nodes) table (models.pinsage.pack_nbhds
         # layout): the forward's neighborhood lookup becomes ONE collective
         # gather with a 2T-int32 payload instead of two full-row-width
-        # gathers riding ICI.  The full-width nb_n stays resident only for
-        # hard-negative rank sampling (ranks up to hn_max > T).
-        T = cfg.model.T
-        packed = np.concatenate(
-            [nb_w[:, :T].astype(np.float32).view(np.int32),
-             nb_n[:, :T]], axis=1)
+        # gathers riding ICI.
+        packed = pack_nbhds_np(nb_w, nb_n, cfg.model.T)
 
         shard_rows = NamedSharding(mesh, P("graph", None))
         replicate = NamedSharding(mesh, P())
         self.features = jax.device_put(feat, shard_rows)
-        # full-width weights are not needed on device (forward uses the
-        # packed top-T table; hard negatives only need node ids)
-        self.nbhd_n = jax.device_put(nb_n, shard_rows)
+        # Hard negatives need single node ids at ranks up to hn_max > T:
+        # keep the table FLATTENED to [n_pad*width, 1] so the collective
+        # gather ships one int32 per negative instead of a full
+        # width-`t_precompute` row (a ~width-fold ICI payload cut on the
+        # hot step).  n_pad divides g, so n_pad*width does too and the
+        # row-shard boundaries stay aligned.  When hard negatives are off
+        # the table is never read — upload a [g, 1] dummy instead of
+        # width*n_pad int32s of dead HBM.
+        self.hn_width = nb_n.shape[1]
+        nb_n_dev = (nb_n.reshape(-1, 1) if cfg.train.hard_negatives
+                    else np.zeros((g, 1), dtype=np.int32))
+        self.nbhd_n = jax.device_put(nb_n_dev, shard_rows)
         self.nbhd_packed = jax.device_put(packed, shard_rows)
         self.positives = jax.device_put(
             np.asarray(positives, dtype=np.int32), replicate)
@@ -108,6 +121,7 @@ class ShardedTrainer:
         self.params = jax.device_put(params, replicate)
         self.opt_state = jax.device_put(self.tx.init(params), replicate)
         self.epoch = 0
+        self._chunks_run = 0
         self._step_fn = self._build_step()
         self._embed_fn = self._build_embed()
 
@@ -139,6 +153,7 @@ class ShardedTrainer:
         n_dev = mesh.shape["dp"] * mesh.shape["graph"]
         b_local = tcfg.batch_size // n_dev
         tx = self.tx
+        hn_width = self.hn_width
         gather_features, gather_nbhds = self._gathers()
         gather_rows = self._gather_fn()
 
@@ -146,22 +161,35 @@ class ShardedTrainer:
             params, opt_state = carry
             dev = (lax.axis_index("dp") * lax.axis_size("graph")
                    + lax.axis_index("graph"))
-            key = jax.random.fold_in(key, dev)
-            kp, kn, kr = jax.random.split(key, 3)
+            kshared, kdev = jax.random.split(key)
+            kdev = jax.random.fold_in(kdev, dev)
+            kp, kn, kr = jax.random.split(kdev, 3)
 
             # --- local triple sampling: the single-chip sampler functions
             # are reused so single- and multi-chip runs share semantics
             # (exact_batch_sampling, easy-negative batch-collision
             # rejection); only the hard-negative gather differs because
             # the neighborhood table is row-sharded here.
-            pos_batch = sample_positive_rows(
-                kp, positives, b_local, exact=tcfg.exact_batch_sampling)
+            if tcfg.exact_batch_sampling:
+                # without-replacement must hold for the GLOBAL batch:
+                # every device derives the SAME full permutation from the
+                # shared (un-folded) key and slices its disjoint block —
+                # per-device permutations would collide across devices.
+                pos_all = sample_positive_rows(
+                    kshared, positives, tcfg.batch_size, exact=True)
+                pos_batch = lax.dynamic_slice_in_dim(
+                    pos_all, dev * b_local, b_local)
+            else:
+                pos_batch = sample_positive_rows(
+                    kp, positives, b_local, exact=False)
             if tcfg.hard_negatives:
                 ranks = jax.random.randint(kr, (b_local,), tcfg.hn_min,
                                            tcfg.hn_max)
-                nbrows = gather_rows(nb_n, pos_batch[:, 0], "graph")
-                neg = jnp.take_along_axis(
-                    nbrows, ranks[:, None], axis=1)[:, 0].astype(jnp.int32)
+                # flattened [n_pad*width, 1] table: gather ONE int32 per
+                # negative (node*width + rank) instead of a full row
+                flat_idx = pos_batch[:, 0] * hn_width + ranks
+                neg = gather_rows(nb_n, flat_idx, "graph")[:, 0].astype(
+                    jnp.int32)
             else:
                 neg = sample_easy_negatives(kn, pos_batch, n_items)
             batch = jnp.concatenate([pos_batch, neg[:, None]], axis=1)
@@ -223,8 +251,17 @@ class ShardedTrainer:
 
     # ----------------------------------------------------------------- api
 
-    def train_chunk(self, n_batches: int, chunk_index: int = 0) -> np.ndarray:
-        """Run `n_batches` sharded train steps; returns per-batch losses."""
+    def train_chunk(self, n_batches: int,
+                    chunk_index: int | None = None) -> np.ndarray:
+        """Run `n_batches` sharded train steps; returns per-batch losses.
+
+        `chunk_index` defaults to an internal call counter so repeated
+        calls draw FRESH batches — callers that looped
+        `train_chunk(n)` with the old default of 0 silently replayed the
+        identical random batch sequence every call."""
+        if chunk_index is None:
+            chunk_index = self._chunks_run
+        self._chunks_run += 1
         base = jax.random.PRNGKey(self.cfg.train.seed + 1)
         key = jax.random.fold_in(jax.random.fold_in(base, self.epoch),
                                  chunk_index)

@@ -52,11 +52,23 @@ class ShardedGraph(NamedTuple):
     n_cols: int
 
 
+def _check_int32_extent(n_edges: int) -> None:
+    """Edge offsets ride int32 gathers; past 2^31 they would wrap silently
+    (clamped gathers returning row-0 garbage).  int64 edge tables are the
+    upgrade path when a single shard's extent exceeds this."""
+    if n_edges >= np.iinfo(np.int32).max:
+        raise ValueError(
+            f"graph has {n_edges} directed edges, exceeding the int32 "
+            f"offset range of the sharded walk tables; split the edge "
+            f"arrays further or extend the tables to int64")
+
+
 def shard_graph(graph: DeviceGraph, mesh: Mesh, axis: str = "graph"
                 ) -> ShardedGraph:
     """Partition the bipartite CSR across `axis` (edge partitioning)."""
     g = mesh.shape[axis]
     spec = NamedSharding(mesh, P(axis, None))
+    _check_int32_extent(max(len(graph.i2c_indices), len(graph.c2i_indices)))
 
     def offsets(indptr):
         ptr = np.asarray(indptr, dtype=np.int64)
@@ -94,6 +106,7 @@ def shard_graph_fused(graph: DeviceGraph, mesh: Mesh, axis: str = "graph"
     """Partition extent-joined edge tables across `axis`."""
     g = mesh.shape[axis]
     spec = NamedSharding(mesh, P(axis, None))
+    _check_int32_extent(max(len(graph.i2c_indices), len(graph.c2i_indices)))
 
     i2c_ptr = np.asarray(graph.i2c_indptr, dtype=np.int64)
     c2i_ptr = np.asarray(graph.c2i_indptr, dtype=np.int64)

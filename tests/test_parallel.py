@@ -335,3 +335,34 @@ def test_shard_graph_fused_matches_single_chip_tables(device_graph):
         np.asarray(sg.i2c_ext)[: i2c_ext.shape[0]], i2c_ext)
     np.testing.assert_array_equal(
         np.asarray(sg.c2i_ext)[: c2i_ext.shape[0]], c2i_ext)
+
+
+def test_train_chunk_draws_fresh_batches_each_call():
+    """Repeated train_chunk calls with default args must not replay the
+    same random batch sequence (the internal chunk counter advances)."""
+    mesh = make_mesh(n_dp=2, n_graph=4)
+    feat, nb_w, nb_n, pos = _toy()
+    cfg = config_with_overrides(RunConfig(), {
+        "model.in_dim": 32, "model.hidden_dim": 32, "model.out_dim": 16,
+        "train.batch_size": 64, "train.lr": 0.0})  # lr=0: params frozen
+    tr = ShardedTrainer(mesh, cfg, feat.shape[0], feat, (nb_w, nb_n), pos)
+    l1 = tr.train_chunk(3)
+    l2 = tr.train_chunk(3)
+    # frozen params => any loss difference comes from the batch draw
+    assert not np.allclose(l1, l2)
+    # explicit chunk_index still reproduces a specific draw
+    l1_again = tr.train_chunk(3, chunk_index=0)
+    np.testing.assert_allclose(l1, l1_again, rtol=1e-6)
+
+
+def test_sharded_trainer_validates_hn_max():
+    import pytest
+
+    mesh = make_mesh(n_dp=2, n_graph=4)
+    feat, nb_w, nb_n, pos = _toy()
+    cfg = config_with_overrides(RunConfig(), {
+        "model.in_dim": 32, "model.hidden_dim": 32, "model.out_dim": 16,
+        "train.batch_size": 64, "train.hard_negatives": True,
+        "train.hn_min": 2, "train.hn_max": nb_n.shape[1] + 5})
+    with pytest.raises(ValueError, match="hn_max"):
+        ShardedTrainer(mesh, cfg, feat.shape[0], feat, (nb_w, nb_n), pos)
