@@ -97,7 +97,9 @@ def cmd_prepare(args) -> None:
         emb = F.MFCC()
     elif args.features == "openl3":
         emb = F.OpenL3(weights_path=weights, seed=args.seed)
-    elif args.features == "vggish2":
+    elif args.features in ("vggish", "vggish2"):
+        # "vggish2" kept as an alias; note the native model is AudioSet
+        # VGGish and writes features_vggish/ (see features.VGGish docstring)
         emb = F.VGGish(weights_path=weights, seed=args.seed)
     elif args.features == "musicnn":
         emb = F.MusicNN(weights_path=weights, seed=args.seed)
@@ -288,7 +290,7 @@ def main(argv=None) -> None:
         sp.add_argument("--dataset", required=True)
         sp.add_argument("--features", default="random",
                         help="feature model name "
-                             "(random|mfcc|openl3|vggish2|musicnn)")
+                             "(random|mfcc|openl3|vggish|musicnn)")
         sp.add_argument("--positives", default=None,
                         help="positives filename inside the dataset dir")
         sp.add_argument("--run-name", default="pinsage_tpu")
@@ -316,7 +318,7 @@ def main(argv=None) -> None:
         if verb in ("prepare", "all"):
             sp.add_argument("--gen-positives", action="store_true")
             sp.add_argument("--feature-weights", default=None,
-                            help="npz weights for openl3/vggish2 "
+                            help="npz weights for openl3/vggish/musicnn "
                                  "(models/audio_embedders.py); default "
                                  "random-init (untrained)")
         if verb in ("train", "all"):

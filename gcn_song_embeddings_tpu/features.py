@@ -318,13 +318,21 @@ class OpenL3(Embedder):
 
 
 class VGGish(Embedder):
-    """VGGish audio embedder (reference lists VGGish features,
-    generate_node_features.py:232-248, commented out).  Native JAX CNN
+    """Google AudioSet VGGish audio embedder (128-d).  Native JAX CNN
     (models/audio_embedders.py) over 0.96 s log-mel patches, mean-pooled;
     `weights_path` restores a converted official checkpoint, else seeded
-    random-init with a one-time untrained warning."""
+    random-init with a one-time untrained warning.
 
-    name = "vggish2"
+    NAMING DIVERGENCE vs the reference (ADVICE r1): the reference's
+    commented-out `Vggish2` class (generate_node_features.py:232-248) is
+    musicnn's MTT_vgg pool5 extractor (per-frame 256-d), NOT AudioSet
+    VGGish — so reference-precomputed `features_vggish2` directories have
+    different semantics/dims from this model's output.  This native model
+    is therefore named `vggish` (features land in `features_vggish/`);
+    reference `features_vggish2` artifacts stay consumable via EmbLoader
+    under their own name and are never silently mixed with native ones."""
+
+    name = "vggish"
     dim = 128
 
     def __init__(self, weights_path: str | None = None, seed: int = 0,
@@ -361,7 +369,14 @@ class MusicNN(Embedder):
     + temporal (envelope) front-end convolutions, residual midend, 200-d
     penultimate dense backend over 3 s log-mel patches, mean-pooled
     (models/audio_embedders.py).  `weights_path` restores an .npz; else
-    seeded random-init with a one-time untrained warning."""
+    seeded random-init with a one-time untrained warning.
+
+    SEMANTIC DIVERGENCE vs the reference (ADVICE r1): the reference's
+    commented-out MusicNN extractor reads `features['max_pool']` from the
+    musicnn taggram API, not the 200-d penultimate layer used here.
+    Reference-precomputed `features_musicnn` directories therefore carry
+    different vectors than natively generated ones; keep them in separate
+    feature dirs (EmbLoader consumes either, by name)."""
 
     name = "musicnn"
     dim = 200

@@ -124,13 +124,20 @@ def _unflatten_params(flat):
 @lru_cache(maxsize=8)
 def _cached_frontend(n_mels: int, n_fft: int, sr: int,
                      fmin: float = 0.0, fmax: float | None = None,
-                     win_length: int | None = None):
+                     win_length: int | None = None,
+                     periodic_window: bool = True):
     """Device-resident (filterbank, window) per frontend config — built
     once, not rebuilt/re-uploaded by every clip chunk (the chunked
-    embed_batch loops call the frontend thousands of times per catalog)."""
+    embed_batch loops call the frontend thousands of times per catalog).
+
+    `periodic_window=False` selects the symmetric np.hanning variant
+    (Google VGGish's mel_features.py frames with np.hanning(400); the
+    torchaudio-convention paths keep the periodic window)."""
     fb = jnp.asarray(mel_filterbank(n_mels, n_fft, sr, fmin=fmin,
                                     fmax=fmax))
-    window = jnp.asarray(hann_window(win_length or n_fft))
+    n_win = win_length or n_fft
+    window = (jnp.asarray(hann_window(n_win)) if periodic_window
+              else jnp.asarray(np.hanning(n_win).astype(np.float32)))
     return fb, window
 
 
@@ -219,6 +226,11 @@ def openl3_mel_windows(clips: np.ndarray, sr: int = SAMPLE_RATE,
                             (0, OPENL3_FRAMES - mel.shape[2])))
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
     db = db - db.max(axis=(1, 2), keepdims=True)        # ref=max dB scaling
+    # kapre/openl3's amplitude_to_decibel applies an 80 dB dynamic-range
+    # floor after ref-max scaling; without it silent frames reach ~-100 dB
+    # and feed out-of-distribution inputs to bn_in under converted
+    # pretrained weights (ADVICE r1).
+    db = jnp.maximum(db, -80.0)
     return np.asarray(db), len(starts)
 
 
@@ -273,14 +285,16 @@ def vggish_log_mel_patches(clips: np.ndarray, sr: int = SAMPLE_RATE
     clips = np.atleast_2d(np.asarray(clips, dtype=np.float32))
     if sr != VGGISH_SR:
         clips = np.stack([resample_linear(c, sr, VGGISH_SR) for c in clips])
-    # VGGish's mel_features convention: 25 ms (400-sample) Hann window,
-    # 10 ms hop, frames zero-padded to a 512-point FFT (next power of 2),
-    # MAGNITUDE spectrogram (power=1) through a 125-7500 Hz filterbank,
-    # then log(mel + 0.01).
+    # VGGish's mel_features convention: 25 ms (400-sample) SYMMETRIC Hann
+    # window (np.hanning(400) in Google's mel_features.py — not the
+    # periodic torchaudio variant), 10 ms hop, frames zero-padded to a
+    # 512-point FFT (next power of 2), MAGNITUDE spectrogram (power=1)
+    # through a 125-7500 Hz filterbank, then log(mel + 0.01).
     n_fft, win_length, hop = 512, 400, 160
     fb, window = _cached_frontend(VGGISH_MELS, n_fft, VGGISH_SR,
                                   fmin=125.0, fmax=7500.0,
-                                  win_length=win_length)
+                                  win_length=win_length,
+                                  periodic_window=False)
     mel = _mel_power(jnp.asarray(clips), fb, window, n_fft, hop,
                      center=False, power=1.0)             # [B, F, 64]
     logmel = np.asarray(jnp.log(mel + 0.01))

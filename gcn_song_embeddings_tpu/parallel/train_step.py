@@ -51,6 +51,18 @@ from gcn_song_embeddings_tpu.train.sampler import (
 from gcn_song_embeddings_tpu.train.trainer import make_optimizer
 
 
+def _check_hard_negative_extent(n_pad: int, width: int) -> None:
+    """The hard-negative gather flattens the neighborhood table and indexes
+    it as node*width + rank in int32 (device_step); past 2^31 entries that
+    index silently wraps and the negatives become garbage rows — same
+    int32-extent class of guard as walks_sharded._check_int32_extent."""
+    if n_pad * width >= np.iinfo(np.int32).max:
+        raise ValueError(
+            f"hard-negative table extent {n_pad} x {width} = "
+            f"{n_pad * width} overflows the int32 flattened index; shrink "
+            f"t_precompute or disable hard_negatives at this catalog size")
+
+
 class ShardedTrainer:
     """PinSage training over a (dp, graph) device mesh."""
 
@@ -82,6 +94,8 @@ class ShardedTrainer:
 
         # Row-shard node tables over the graph axis (pad rows to g).
         n_pad = pad_to_multiple(n_items, g)
+        if cfg.train.hard_negatives:
+            _check_hard_negative_extent(n_pad, nbhds[1].shape[1])
         feat = np.zeros((n_pad, features.shape[1]), dtype=np.float32)
         feat[:n_items] = features
         nb_w = np.zeros((n_pad, nbhds[0].shape[1]), dtype=np.float32)

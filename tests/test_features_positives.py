@@ -239,7 +239,7 @@ def test_hann_window_matches_torch_periodic():
     """torchaudio's MelSpectrogram uses torch.hann_window (periodic);
     np.hanning is symmetric — the difference is a systematic per-frame
     spectral bias, so pin parity against torch itself."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     for n in (16, 400, 1024):
         got = F.hann_window(n)
@@ -306,7 +306,7 @@ def test_checkpoint_conversion_torch_parity():
     mode) — validates conv OIHW->HWIO orientation, BN folding (keras eps
     1e-3), fc transposition, pooling, and the NHWC flatten convention
     (torchvggish transposes NCHW->NHWC before its flatten)."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     from gcn_song_embeddings_tpu.models import audio_embedders as ae
 

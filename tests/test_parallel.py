@@ -366,3 +366,18 @@ def test_sharded_trainer_validates_hn_max():
         "train.hn_min": 2, "train.hn_max": nb_n.shape[1] + 5})
     with pytest.raises(ValueError, match="hn_max"):
         ShardedTrainer(mesh, cfg, feat.shape[0], feat, (nb_w, nb_n), pos)
+
+
+def test_hard_negative_int32_extent_guard():
+    """node*width+rank is computed in int32 on device; the constructor must
+    refuse table extents past 2^31 instead of silently wrapping (ADVICE r1).
+    Tested via the extracted helper — a real table that large is 8 GB."""
+    import pytest
+
+    from gcn_song_embeddings_tpu.parallel.train_step import (
+        _check_hard_negative_extent,
+    )
+
+    _check_hard_negative_extent(21_000_000, 100)        # just under 2^31
+    with pytest.raises(ValueError, match="int32"):
+        _check_hard_negative_extent(22_000_000, 100)    # past 2^31
