@@ -76,8 +76,18 @@ def _run_config(args):
 
 
 def cmd_synth(args) -> None:
-    from gcn_song_embeddings_tpu.data import make_synthetic_dataset
+    from gcn_song_embeddings_tpu.data import (
+        make_hard_dataset,
+        make_synthetic_dataset,
+    )
 
+    if args.hard:
+        make_hard_dataset(args.dataset, n_tracks=args.n_tracks,
+                          n_collections=args.n_collections,
+                          n_positives=args.n_positives,
+                          feature_dim=args.feature_dim, seed=args.seed)
+        print(f"hard (graph>features) dataset written to {args.dataset}")
+        return
     make_synthetic_dataset(args.dataset, n_tracks=args.n_tracks,
                            n_collections=args.n_collections,
                            n_positives=args.n_positives,
@@ -308,6 +318,10 @@ def main(argv=None) -> None:
     sp.add_argument("--n-positives", type=int, default=20000)
     sp.add_argument("--feature-dim", type=int, default=128)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--hard", action="store_true",
+                    help="hierarchical benchmark dataset where the graph "
+                         "signal must beat the feature signal "
+                         "(data/synth.make_hard_dataset)")
     sp.set_defaults(func=cmd_synth)
 
     for verb, fn in (("prepare", cmd_prepare), ("train", cmd_train),

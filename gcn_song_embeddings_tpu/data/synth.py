@@ -129,6 +129,209 @@ def _dump(path: str, obj) -> None:
         json.dump(obj, f)
 
 
+def make_hard_dataset(
+    out_dir: str,
+    n_tracks: int = 20_000,
+    tracks_per_artist: int = 20,
+    artists_per_genre: int = 25,
+    genres_per_group: int = 2,
+    n_collections: int = 4_000,
+    collection_size_range: tuple[int, int] = (5, 200),
+    collection_size_alpha: float = 2.2,
+    focus_artists: int = 6,
+    p_secondary: float = 0.3,
+    p_wild: float = 0.05,
+    popularity_exponent: float = 0.8,
+    p_artist_positive: float = 0.8,
+    n_positives: int = 60_000,
+    feature_dim: int = 128,
+    feature_noise: float = 1.0,
+    f_cold: float = 0.3,
+    seed: int = 0,
+) -> str:
+    """Benchmark dataset where the graph signal must beat the feature signal.
+
+    The uniform-cluster generator above saturates: its features are noisy
+    cluster centroids, so raw-feature kNN sits at the ceiling and a GNN can
+    only match it (round-1 VERDICT).  This generator plants a three-level
+    latent hierarchy mirroring real music catalogs
+    (reference eval on real co-listen data, eval.py:413-467):
+
+      feature group  >  genre  >  artist  >  track
+
+    and deliberately splits the signal between modalities:
+
+    * **Features reveal only the group**: every genre in a group shares one
+      feature centroid ("twin genres"), so content kNN cannot separate
+      genres, let alone artists.  A further ``f_cold`` fraction of tracks
+      gets noise-only features (tracks without audio clips — the
+      reference's preview_url-missing case, get_data.py:455).
+    * **The graph reveals artists**: each playlist focuses on a handful of
+      artists of one genre (optionally mixing a sibling genre of the same
+      group), so co-membership separates artists and genres.
+    * **Positives are mostly same-artist co-listens** (``p_artist_positive``),
+      the rest same-genre — so ranking well requires artist-level structure
+      that only the graph carries.
+    * **Power-law everything**: Pareto playlist sizes
+      (``collection_size_alpha``) and Zipf track/artist popularity
+      (``popularity_exponent``) give realistic skewed degree distributions,
+      making the cold-start eval slices (low degree / low co-occurrence)
+      meaningful.
+
+    Track ids are randomly permuted so node id order carries no cluster
+    locality (exercises gather locality honestly).  On-disk format is the
+    reference's (SURVEY §7).  Returns ``out_dir``.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    if n_tracks % tracks_per_artist:
+        raise ValueError("n_tracks must be a multiple of tracks_per_artist")
+    n_artists = n_tracks // tracks_per_artist
+    if n_artists % artists_per_genre:
+        raise ValueError("n_tracks/tracks_per_artist must be a multiple of "
+                         "artists_per_genre")
+    n_genres = n_artists // artists_per_genre
+    if n_genres % genres_per_group:
+        raise ValueError("genre count must be a multiple of genres_per_group")
+
+    # --- latent assignment: tracks -> artist -> genre -> group ------------
+    # track_of[a, s] = track id of artist a's slot s; ids randomly permuted
+    track_of = rng.permutation(n_tracks).reshape(n_artists, tracks_per_artist)
+    artist = np.empty(n_tracks, dtype=np.int64)
+    slot = np.empty(n_tracks, dtype=np.int64)
+    artist[track_of] = np.arange(n_artists)[:, None]
+    slot[track_of] = np.arange(tracks_per_artist)[None, :]
+    genre = artist // artists_per_genre
+    group = genre // genres_per_group
+
+    # --- popularity: Zipf over artists x Zipf over within-artist slots ----
+    artist_rank = rng.permutation(n_artists)
+    w_artist = (1.0 + artist_rank) ** -popularity_exponent
+    w_slot = (1.0 + np.arange(tracks_per_artist)) ** -popularity_exponent
+    slot_cdf = np.cumsum(w_slot) / w_slot.sum()
+    track_pop = w_artist[artist] * w_slot[slot]
+    track_cdf = np.cumsum(track_pop) / track_pop.sum()
+
+    # --- playlists: Pareto sizes, a few focus artists, sibling-genre mix --
+    smin, smax = collection_size_range
+    u = rng.random(n_collections)
+    sizes = np.clip(smin * (1.0 - u) ** (-1.0 / (collection_size_alpha - 1.0)),
+                    smin, smax).astype(np.int64)
+    col_genre = rng.integers(0, n_genres, size=n_collections)
+    sibling = (col_genre // genres_per_group) * genres_per_group + rng.integers(
+        0, genres_per_group, size=n_collections)
+    # focus artists: per slot, draw from the sibling genre w.p. p_secondary
+    use_sib = rng.random((n_collections, focus_artists)) < p_secondary
+    focus_g = np.where(use_sib, sibling[:, None], col_genre[:, None])
+    focus_a = (focus_g * artists_per_genre
+               + rng.integers(0, artists_per_genre,
+                              size=(n_collections, focus_artists)))
+
+    # per-membership sampling, fully vectorized over all edges
+    col_of_edge = np.repeat(np.arange(n_collections), sizes)
+    m = len(col_of_edge)
+    e_focus = rng.integers(0, focus_artists, size=m)
+    e_artist = focus_a[col_of_edge, e_focus]
+    e_slot = np.searchsorted(slot_cdf, rng.random(m))
+    e_track = track_of[e_artist, e_slot]
+    wild = rng.random(m) < p_wild
+    if wild.any():
+        e_track = np.where(
+            wild, np.searchsorted(track_cdf, rng.random(m)), e_track)
+
+    # guarantee every track appears in >=1 playlist (walk kernels assume
+    # degree >= 1, like the reference's randint over successors,
+    # pinsage_model.py:41-46) — attach missing tracks to an own-genre playlist
+    missing = np.setdiff1d(np.arange(n_tracks), np.unique(e_track))
+    if missing.size:
+        cols_by_genre = [np.where(col_genre == g0)[0] for g0 in range(n_genres)]
+        extra_cols = np.array([
+            int(rng.choice(cols_by_genre[genre[t]]))
+            if cols_by_genre[genre[t]].size else int(rng.integers(0, n_collections))
+            for t in missing])
+        e_track = np.concatenate([e_track, missing])
+        col_of_edge = np.concatenate([col_of_edge, extra_cols])
+
+    # dedup (track, collection)
+    enc = e_track.astype(np.int64) * n_collections + col_of_edge
+    enc = np.unique(enc)
+    t_e = enc // n_collections
+    c_e = enc % n_collections
+
+    # --- write the reference-format JSON files ----------------------------
+    # cold tracks = no audio clip -> noise-only features, drawn once and
+    # used consistently for preview_url and the feature matrix below
+    cold = rng.random(n_tracks) < f_cold
+    width = max(6, len(str(n_tracks - 1)))
+    track_ids = [f"t{i:0{width}d}" for i in range(n_tracks)]
+    col_ids = [f"c{i:0{width}d}" for i in range(n_collections)]
+    tracks = {
+        tid: {
+            "name": f"Song {i}",
+            "artist": f"Artist {artist[i]}",
+            "artist_id": f"ar{artist[i]:06d}",
+            "album": f"Genre {genre[i]}",
+            "album_id": f"g{genre[i]:06d}",
+            "popularity": int(99 * track_pop[i] / track_pop.max()),
+            "preview_url": "" if cold[i] else f"clip{i}.mp3",
+        }
+        for i, tid in enumerate(track_ids)
+    }
+    by_col = np.argsort(c_e, kind="stable")
+    c_sorted, t_sorted = c_e[by_col], t_e[by_col]
+    col_starts = np.searchsorted(c_sorted, np.arange(n_collections + 1))
+    collections = {}
+    for c in range(n_collections):
+        members = t_sorted[col_starts[c]:col_starts[c + 1]]
+        collections[col_ids[c]] = {
+            "type": "playlist",
+            "name": f"Playlist {c} (genre {col_genre[c]})",
+            "num_tracks": int(len(members)),
+            "description": "",
+            "ztracks": [track_ids[t] for t in members],
+        }
+    edge_list = []
+    for t, c in zip(t_e, c_e):
+        edge_list.append({"from": track_ids[t], "to": col_ids[c]})
+        edge_list.append({"from": col_ids[c], "to": track_ids[t]})
+    _dump(os.path.join(out_dir, "tracks.json"), tracks)
+    _dump(os.path.join(out_dir, "collections.json"), collections)
+    _dump(os.path.join(out_dir, "graph.json"),
+          {"tracks": track_ids, "collections": col_ids, "edges": edge_list})
+
+    # --- positives: popularity-weighted, same-artist else same-genre ------
+    q = np.searchsorted(track_cdf, rng.random(n_positives))
+    same_artist = rng.random(n_positives) < p_artist_positive
+    p_slot = np.searchsorted(slot_cdf, rng.random(n_positives))
+    pos_artist_same = track_of[artist[q], p_slot]
+    # same-genre partner: random other artist of the query's genre
+    other_a = (genre[q] * artists_per_genre
+               + rng.integers(0, artists_per_genre, size=n_positives))
+    pos_genre = track_of[other_a, np.searchsorted(
+        slot_cdf, rng.random(n_positives))]
+    p = np.where(same_artist, pos_artist_same, pos_genre)
+    keep = p != q
+    _dump(os.path.join(out_dir, "positives.json"),
+          [{"a": track_ids[int(x)], "b": track_ids[int(y)]}
+           for x, y in zip(q[keep], p[keep])])
+
+    # --- features: group centroid (+ noise), cold tracks noise-only -------
+    centroids = rng.standard_normal((n_genres // genres_per_group,
+                                     feature_dim)).astype(np.float32)
+    feats = centroids[group] + feature_noise * rng.standard_normal(
+        (n_tracks, feature_dim)).astype(np.float32)
+    feats[cold] = (np.sqrt(1.0 + feature_noise ** 2)
+                   * rng.standard_normal((int(cold.sum()), feature_dim))
+                   .astype(np.float32))
+    np.save(os.path.join(out_dir, "features.npy"), feats)
+
+    # latent ground truth for tests/analysis (not consumed by the pipeline)
+    np.savez(os.path.join(out_dir, "latent.npz"),
+             artist=artist, genre=genre, group=group, cold=cold,
+             track_pop=track_pop, col_genre=col_genre)
+    return out_dir
+
+
 def make_synthetic_dataset_large(
     out_dir: str,
     n_tracks: int = 1_000_000,
