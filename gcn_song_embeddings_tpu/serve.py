@@ -10,15 +10,29 @@ Endpoints:
     GET /healthz                          -> {"status": "ok", ...}
     GET /knn?track=<id>&k=10              -> ranked neighbors w/ metadata
     GET /knn?index=<row>&k=10             -> same, by integer row
+    GET /knn?tracks=<id,id,...>&k=10      -> batched: one device call for
+                                             all queries (also indices=)
     GET /embed?track=<id>                 -> the raw embedding vector
 
+Concurrency design: `ThreadingHTTPServer` handles sockets/JSON on many
+threads, but ALL device work funnels through ONE dispatcher thread
+(`QueryBatcher`) that drains the request queue and issues a single
+batched MXU matmul per drain — concurrent clients COALESCE into larger
+device batches instead of racing dispatches (on the tunneled axon
+platform concurrent dispatch is unsafe; on any platform the batched
+matmul beats N matvecs).  Batch sizes are bucketed to powers of two and
+the top-k width is fixed at construction, so the jit cache stays small.
+
 Batched offline retrieval should use ops.knn.knn_from_emb instead; this
-path is optimized for single-query latency.
+path is optimized for online latency.
 """
 
 from __future__ import annotations
 
 import json
+import queue
+import threading
+from concurrent.futures import Future
 from functools import partial
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -41,6 +55,18 @@ def _query_topk(unit_emb: jnp.ndarray, row: jnp.ndarray, k: int):
     return jax.lax.top_k(sims, k + 1)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _query_topk_batch(unit_emb: jnp.ndarray, rows: jnp.ndarray, k: int):
+    """[B] query rows -> ([B, k+1], [B, k+1]) cosine top-(k+1).
+
+    One MXU matmul for the whole batch — this is what the QueryBatcher
+    coalesces concurrent single queries into."""
+    q = unit_emb[rows]                                     # [B, d]
+    sims = jnp.dot(q, unit_emb.T,
+                   precision=jax.lax.Precision.HIGHEST)    # [B, N]
+    return jax.lax.top_k(sims, k + 1)
+
+
 class EmbeddingIndex:
     """Device-resident kNN index over a track embedding matrix.
 
@@ -57,10 +83,15 @@ class EmbeddingIndex:
     def __init__(self, embeddings: np.ndarray,
                  track_ids: Optional[list[str]] = None,
                  tracks_meta: Optional[dict] = None,
-                 quantized: bool = False):
+                 quantized: bool = False,
+                 k_cap: int = 128):
         emb = np.asarray(embeddings, dtype=np.float32)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         unit = emb / np.maximum(norms, 1e-12)
+        # host copy: /embed lookups and quantized query rows read it
+        # without touching the device (keeps ALL device work on the
+        # single-dispatch path)
+        self.unit_host = unit
         self.quantized = quantized
         if quantized:
             from gcn_song_embeddings_tpu.ops.quantize import quantize_rows
@@ -72,6 +103,10 @@ class EmbeddingIndex:
         else:
             self.unit = jnp.asarray(unit)
         self.n, self.dim = emb.shape
+        # fixed top-k width: every batched device call computes
+        # top-(k_cap+1) so the jit cache has ONE entry per batch bucket,
+        # not one per distinct requested k
+        self.k_cap = max(min(k_cap, self.n - 1), 1)
         self.track_ids = track_ids or [str(i) for i in range(self.n)]
         self.row_of = {tid: i for i, tid in enumerate(self.track_ids)}
         self.tracks_meta = tracks_meta or {}
@@ -103,6 +138,10 @@ class EmbeddingIndex:
         else:
             w, n = _query_topk(self.unit, jnp.int32(row), k)
             w, n = np.asarray(w), np.asarray(n)
+        return self._format(w, n, row, k)
+
+    def _format(self, w: np.ndarray, n: np.ndarray, row: int, k: int
+                ) -> list[dict]:
         # filter self BY ID (duplicate embeddings can tie-break the
         # duplicate into slot 0 and the query into slot 1)
         keep = n != row
@@ -119,8 +158,39 @@ class EmbeddingIndex:
             out.append(item)
         return out
 
+    def knn_rows(self, rows: np.ndarray, k: int = 10) -> list[list[dict]]:
+        """Batched kNN: ONE device call for all query rows.
+
+        Rows are padded to a power-of-two bucket so repeated batch sizes
+        hit the jit cache; the top-k width is the fixed self.k_cap."""
+        rows = np.asarray(rows)
+        if rows.size == 0:
+            return []
+        if rows.min() < 0 or rows.max() >= self.n:
+            # XLA clamps out-of-bounds gathers silently — fail loudly here
+            raise IndexError(f"query rows outside [0, {self.n})")
+        rows = rows.astype(np.int32)
+        if self.n <= 3:                    # tiny catalogs: exact path
+            return [self.knn(int(r), k) for r in rows]
+        k = max(min(k, self.k_cap, self.n - 1), 1)
+        b = 1 << (int(rows.size) - 1).bit_length()         # next pow2
+        padded = np.zeros((b,), np.int32)
+        padded[: rows.size] = rows
+        if self.quantized and self.n > 2:
+            from gcn_song_embeddings_tpu.ops.quantize import int8_topk
+
+            w, n = int8_topk(self.q_values, self.q_scales,
+                             jnp.asarray(self.unit_host[padded]),
+                             min(self.k_cap + 2, self.n))
+        else:
+            w, n = _query_topk_batch(self.unit, jnp.asarray(padded),
+                                     self.k_cap)
+        w, n = np.asarray(w), np.asarray(n)
+        return [self._format(w[i], n[i], int(rows[i]), k)
+                for i in range(rows.size)]
+
     def embed(self, row: int) -> np.ndarray:
-        return np.asarray(self.unit[row])
+        return np.asarray(self.unit_host[row])
 
     def resolve(self, params: dict) -> int:
         if "index" in params:
@@ -133,8 +203,95 @@ class EmbeddingIndex:
             raise KeyError(f"unknown track {tid!r}")
         return self.row_of[tid]
 
+    def resolve_many(self, params: dict) -> list[int]:
+        """Comma-separated `tracks=` / `indices=` query params -> rows."""
+        if "indices" in params:
+            rows = [int(x) for x in params["indices"][0].split(",") if x]
+            for row in rows:
+                if not 0 <= row < self.n:
+                    raise KeyError(f"index {row} out of range")
+        else:
+            rows = []
+            for tid in params["tracks"][0].split(","):
+                if tid not in self.row_of:
+                    raise KeyError(f"unknown track {tid!r}")
+                rows.append(self.row_of[tid])
+        if not rows:
+            raise ValueError("empty query list")
+        return rows
 
-def make_handler(index: EmbeddingIndex):
+
+class QueryBatcher:
+    """Serializes + coalesces device queries behind ONE dispatcher thread.
+
+    Request threads enqueue (rows, k) work items and block on a Future;
+    the dispatcher drains whatever is queued (up to max_batch rows),
+    issues one batched device call via `EmbeddingIndex.knn_rows`, and
+    fulfills the futures.  Under concurrent load, queries that arrive
+    while a device call is in flight pile up and ride the NEXT call —
+    adaptive micro-batching with no added idle latency for a lone query.
+
+    This is the only thing that touches the device once serving starts,
+    which is what makes `ThreadingHTTPServer` safe on the tunneled axon
+    platform (one in-flight dispatch at a time) — and faster everywhere
+    (one [B, N] MXU matmul instead of B matvec dispatches)."""
+
+    def __init__(self, index: EmbeddingIndex, max_batch: int = 64):
+        self.index = index
+        self.max_batch = max_batch
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="knn-dispatch")
+        self._stopped = False
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stopped = True
+        self._q.put(None)
+
+    def knn(self, row: int, k: int) -> list[dict]:
+        return self.knn_many([row], k)[0]
+
+    def knn_many(self, rows, k: int) -> list[list[dict]]:
+        fut: Future = Future()
+        self._q.put((list(rows), k, fut))
+        return fut.result()
+
+    def _loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None or self._stopped:
+                return
+            batch = [item]
+            n_rows = len(item[0])
+            # drain whatever else is already queued (coalesce concurrent
+            # clients into one device call) without waiting
+            while n_rows < self.max_batch:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)      # re-signal stop after this drain
+                    break
+                batch.append(nxt)
+                n_rows += len(nxt[0])
+            all_rows = [r for rows, _, _ in batch for r in rows]
+            kmax = max(k for _, k, _ in batch)
+            try:
+                results = self.index.knn_rows(np.asarray(all_rows), kmax)
+            except Exception as e:  # fulfil every waiter with the error
+                for _, _, fut in batch:
+                    fut.set_exception(e)
+                continue
+            off = 0
+            for rows, k, fut in batch:
+                per = [nbrs[:k] for nbrs in results[off: off + len(rows)]]
+                off += len(rows)
+                fut.set_result(per)
+
+
+def make_handler(index: EmbeddingIndex, batcher: QueryBatcher | None = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -155,10 +312,20 @@ def make_handler(index: EmbeddingIndex):
                     self._json(200, {"status": "ok", "tracks": index.n,
                                      "dim": index.dim})
                 elif url.path == "/knn":
-                    row = index.resolve(params)
                     k = min(int(params.get("k", ["10"])[0]), index.n - 1)
-                    self._json(200, {"query": index.track_ids[row],
-                                     "neighbors": index.knn(row, k)})
+                    if "tracks" in params or "indices" in params:
+                        rows = index.resolve_many(params)
+                        nbrs = (batcher.knn_many(rows, k) if batcher
+                                else index.knn_rows(np.asarray(rows), k))
+                        self._json(200, {
+                            "queries": [index.track_ids[r] for r in rows],
+                            "neighbors": nbrs})
+                    else:
+                        row = index.resolve(params)
+                        nbrs = (batcher.knn(row, k) if batcher
+                                else index.knn(row, k))
+                        self._json(200, {"query": index.track_ids[row],
+                                         "neighbors": nbrs})
                 elif url.path == "/embed":
                     row = index.resolve(params)
                     self._json(200, {"track": index.track_ids[row],
@@ -172,11 +339,28 @@ def make_handler(index: EmbeddingIndex):
     return Handler
 
 
-def serve(index: EmbeddingIndex, host: str = "127.0.0.1", port: int = 8800
-          ) -> ThreadingHTTPServer:
+def serve(index: EmbeddingIndex, host: str = "127.0.0.1", port: int = 8800,
+          batched: bool = True) -> ThreadingHTTPServer:
     """Start the HTTP server (returns it; call .serve_forever() or run it
-    in a thread; .shutdown() to stop)."""
-    server = ThreadingHTTPServer((host, port), make_handler(index))
+    in a thread; .shutdown() to stop).
+
+    batched=True (default) routes every device query through a
+    QueryBatcher dispatcher thread (see its docstring) — required for
+    concurrent clients on the tunneled axon platform and faster under
+    load everywhere.  The batcher is exposed as `server.batcher`; the
+    overridden `server_close` stops it."""
+    batcher = QueryBatcher(index) if batched else None
+    server = ThreadingHTTPServer((host, port), make_handler(index, batcher))
+    server.batcher = batcher
+
+    if batcher is not None:
+        orig_close = server.server_close
+
+        def close_all():
+            batcher.stop()
+            orig_close()
+
+        server.server_close = close_all
     return server
 
 
@@ -195,7 +379,8 @@ def main() -> None:
     args = ap.parse_args()
     graph = SongGraph(args.dataset) if args.dataset else None
     index = EmbeddingIndex.from_run(args.emb, graph, quantized=args.int8)
-    index.knn(0, 10)  # warm the jit before accepting traffic
+    index.knn(0, 10)                       # warm the single-query jit
+    index.knn_rows(np.arange(min(2, index.n)), 10)  # warm a batched bucket
     print(f"serving {index.n} tracks on :{args.port}")
     serve(index, port=args.port).serve_forever()
 

@@ -97,6 +97,111 @@ def test_knn_self_filtered_by_id_under_duplicates():
     assert top[0]["index"] == 5  # the duplicate is the #1 neighbor
 
 
+def _same_neighbors(got, want, tol=2e-5):
+    """Same ranked ids; scores equal to within matvec-vs-matmul rounding."""
+    assert [n["index"] for n in got] == [n["index"] for n in want]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) <= tol, (a, b)
+
+
+def test_knn_rows_matches_single_queries(graph):
+    """The batched device path returns the single-query results."""
+    index, _ = _index(graph)
+    rows = np.array([0, 7, 13, 3, 7])            # duplicates allowed
+    batched = index.knn_rows(rows, k=6)
+    for r, nbrs in zip(rows, batched):
+        _same_neighbors(nbrs, index.knn(int(r), 6))
+
+
+def test_query_batcher_coalesces_and_matches(graph):
+    """Concurrent QueryBatcher callers get single-query-identical results."""
+    from gcn_song_embeddings_tpu.serve import QueryBatcher
+
+    index, _ = _index(graph)
+    batcher = QueryBatcher(index)
+    try:
+        want = {q: index.knn(q, 5) for q in range(24)}
+        results: dict = {}
+        errors: list = []
+
+        def worker(q):
+            try:
+                results[q] = batcher.knn(q, 5)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(q,))
+                   for q in range(24)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+            assert not t.is_alive(), "batcher wedged"
+        assert not errors
+        assert set(results) == set(want)
+        for q in want:
+            _same_neighbors(results[q], want[q])
+
+        # errors propagate to the right waiter, not the whole batch
+        import pytest
+        with pytest.raises(IndexError):
+            batcher.knn_many([10**9], 5)
+        _same_neighbors(batcher.knn(3, 5), want[3])  # batcher still alive
+    finally:
+        batcher.stop()
+
+
+def test_http_concurrent_clients_and_batch_endpoint(graph):
+    """N threads x M queries against a live server: every response is
+    correct and nothing wedges (VERDICT r1 weakness 5); plus the batched
+    /knn?tracks=... endpoint."""
+    index, _ = _index(graph)
+    want = {q: index.knn(q, 4) for q in range(12)}
+    server = serve(index, port=0)                # batched dispatcher on
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}", timeout=60) as r:
+                return r.status, json.loads(r.read())
+
+        errors: list = []
+
+        def client(q):
+            try:
+                for _ in range(5):
+                    code, res = get(f"/knn?index={q}&k=4")
+                    assert code == 200
+                    _same_neighbors(res["neighbors"], want[q])
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=client, args=(q,))
+                   for q in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+            assert not t.is_alive(), "server wedged under concurrency"
+        assert not errors, errors[:3]
+
+        # batched endpoint: one request, one device call, many queries
+        tids = ",".join(graph.track_ids[q] for q in (2, 5, 9))
+        code, res = get(f"/knn?tracks={tids}&k=4")
+        assert code == 200
+        assert res["queries"] == [graph.track_ids[q] for q in (2, 5, 9)]
+        for q, nbrs in zip((2, 5, 9), res["neighbors"]):
+            _same_neighbors(nbrs, want[q])
+
+        code, res = get("/knn?indices=1,4&k=3")
+        assert code == 200 and len(res["neighbors"]) == 2
+        assert all(len(n) == 3 for n in res["neighbors"])
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_knn_k_clamped_to_catalog():
     from gcn_song_embeddings_tpu.serve import EmbeddingIndex
 
