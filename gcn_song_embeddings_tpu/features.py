@@ -7,9 +7,10 @@ embedders OpenL3 (512-d), RandomFeatures(512), MFCC-40.
 TPU-native re-design: the DSP path (mel spectrogram -> log -> DCT -> MFCC)
 is jax on device — framing is a reshape, the mel projection and the DCT are
 matmuls, so a batch of clips is three MXU ops (the reference loops librosa
-per window on the host).  Audio IO is host-side: stdlib `wave` for .wav and
-raw `.npy` waveforms (librosa/torchaudio are not available in this image;
-mp3 decoding is gated).  The learned embedders (OpenL3/VGGish/MusicNN)
+per window on the host).  Audio IO is host-side: stdlib `wave` for .wav,
+raw `.npy` waveforms, and mp3/ogg/flac/m4a via the native FFmpeg decoder
+(native/audiodec.cc — librosa/torchaudio are not in this image).
+The learned embedders (OpenL3/VGGish/MusicNN)
 run as native JAX CNNs (models/audio_embedders.py) — pretrained weights
 load from .npz (scripts/convert_audio_weights.py), random-init otherwise
 with an UNTRAINED warning; precomputed vectors also remain consumable via
@@ -38,8 +39,11 @@ CLIP_SAMPLES = 480000  # 30 s (generate_node_features.py:40-77)
 def load_clip(path: str, sr: int = SAMPLE_RATE,
               n_samples: int = CLIP_SAMPLES) -> np.ndarray:
     """Load audio -> mono float32 [n_samples] at `sr` (cut/pad like
-    generate_node_features.py:60-77).  Supports .wav (stdlib) and .npy
-    (raw waveform, assumed already at `sr`)."""
+    generate_node_features.py:60-77).  .wav rides stdlib `wave` and .npy
+    is a raw waveform assumed already at `sr`; every other extension
+    (mp3/ogg/flac/m4a/...) decodes through the native FFmpeg binding
+    (native/audiodec.cc), which also does the mono downmix and the
+    resample to `sr` in C."""
     if path.endswith(".npy"):
         y = np.load(path).astype(np.float32)
         if y.ndim == 2:
@@ -61,10 +65,15 @@ def load_clip(path: str, sr: int = SAMPLE_RATE,
         if rate != sr:
             y = resample_linear(y, rate, sr)
     else:
-        raise ValueError(
-            f"unsupported audio format: {path!r} (mp3 decoding needs "
-            f"librosa/torchaudio, unavailable in this environment; "
-            f"convert clips to .wav or raw .npy waveforms)")
+        from gcn_song_embeddings_tpu.native import audiodec
+
+        if not audiodec.native_available():
+            raise ValueError(
+                f"unsupported audio format: {path!r} — compressed clips "
+                f"need the native decoder (make -C native, requires the "
+                f"system FFmpeg dev libraries); alternatively convert "
+                f"clips to .wav or raw .npy waveforms")
+        y = audiodec.decode(path, sr)
     if y.shape[0] >= n_samples:
         return y[:n_samples]
     return np.pad(y, (0, n_samples - y.shape[0]))
