@@ -73,13 +73,17 @@ def main() -> None:
                 return total
             return f
         f1, fR = make(1), make(R)
-        timed(f1, jax.random.PRNGKey(1))       # compile
+        timed(f1, jax.random.PRNGKey(1))       # compile + warm
         timed(fR, jax.random.PRNGKey(1))
-        t1 = timed(f1, jax.random.PRNGKey(2))
-        tR = timed(fR, jax.random.PRNGKey(2))
+        diffs = []
+        for s in range(2, 5):                  # median of 3 pairs
+            t1 = timed(f1, jax.random.PRNGKey(2 * s))
+            tR = timed(fR, jax.random.PRNGKey(2 * s + 1))
+            diffs.append(tR - t1)
         steps = (R - 1) * B * H * extra_hops_factor
-        r = steps / (tR - t1)
-        log(f"{label}: {r / 1e6:.1f}M steps/s (t1={t1:.2f} tR={tR:.2f})")
+        r = steps / float(np.median(diffs))
+        log(f"{label}: {r / 1e6:.1f}M steps/s "
+            f"(diffs {[round(x, 2) for x in diffs]})")
         return round(r / 1e6, 1)
 
     results = {"walkers": B, "hops": H}
