@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: fused two-step restart-walk hop (VERDICT r1 item 5).
+
+The production walker (`ops/walks.py walks_from_fused_tables`) advances all
+B walkers one two-step hop per `lax.scan` step: two dependent [B]-row XLA
+gathers over the extent-joined edge tables plus slot/restart arithmetic
+(reference hot loop: /root/reference/pinsage_model.py:32-53).  RESULTS.md
+establishes that loop is HBM-gather-LATENCY-bound.  This kernel is the
+hand-scheduled alternative the round-1 verdict asked to measure: the whole
+walk — both gathers, slot arithmetic, restart select, trace write — fused
+into ONE Pallas kernel with an explicit multi-walker in-flight DMA pipeline,
+so hop h+1's row fetches for walker w overlap hop h's for walkers w+1..w+K.
+
+Schedule (grid = one step per hop, sequential on the scalar core):
+
+    tick t of B+2K:   finalize(t-2K)  <- wait gather2, restart select,
+                                         state + trace update
+                      stage2(t-K)     <- wait gather1, issue gather2
+                      issue1(t)       <- slot arith, issue gather1
+    K in-flight single-row DMAs per stage; per-walker state (row start,
+    degree) lives in SMEM; the hop's [B, 3] uniform block is pipeline-
+    streamed into SMEM; the finished [B] trace row is DMA'd SMEM -> HBM.
+
+The chain is BIT-IDENTICAL to `walks_from_fused_tables` under the same key:
+both consume `jax.random.uniform(key, (hops, B, 3))` in the same order with
+byte-for-byte the `uniform_slot` arithmetic (tests/test_pallas_walk.py).
+
+Measured outcome (RESULTS.md "walk kernel roofline + Pallas A/B"): the
+scalar-core DMA issue loop cannot approach the hardware gather engine XLA
+uses — this kernel exists as the measured A/B arm and the template for
+shapes where per-row DMA fusion wins (it is NOT the default path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K_INFLIGHT = 8  # DMA pipeline depth per gather stage
+
+
+def _slot(u, deg):
+    """Bit-identical to ops.walks.uniform_slot on scalars."""
+    return jnp.minimum((u * deg.astype(jnp.float32)).astype(jnp.int32),
+                       jnp.maximum(deg - 1, 0))
+
+
+def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
+                 state, idx1s, buf1, buf2, trace,
+                 sem1, sem2, sem_out, *, alpha: float, n_walkers: int):
+    """One grid step = one two-step hop for all n_walkers walkers.
+
+    org_ref  SMEM scalar-prefetch [2B] int32: (i2c start, deg) per origin
+    u_ref    SMEM block [1, B, 3] f32: this hop's uniforms
+    i2c_ref  HBM [nnz, 2] int32: per item->col edge, target col's c2i extents
+    c2i_ref  HBM [nnz, 3] int32: per col->item edge, (item, i2c start, deg)
+    out_ref  HBM [H, B] int32 trace (manual DMA row per hop)
+    state    SMEM [B, 2]: walker's current (row start, degree)
+    idx1s    SMEM [K]: issued gather1 addresses (to rebuild DMA for wait)
+    buf1/2   SMEM [K, 2] / [K, 3] landing rows; sem1/2 DMA[K]; trace SMEM [B]
+    """
+    h = pl.program_id(0)
+    k = K_INFLIGHT
+    b = n_walkers
+    alpha_f = jnp.float32(alpha)
+
+    @pl.when(h == 0)
+    def _():
+        def init(w, c):
+            state[w, 0] = org_ref[2 * w]
+            state[w, 1] = org_ref[2 * w + 1]
+            return c
+        jax.lax.fori_loop(0, b, init, 0, unroll=False)
+
+    def dma1(w, idx):
+        return pltpu.make_async_copy(i2c_ref.at[idx], buf1.at[w % k],
+                                     sem1.at[w % k])
+
+    def dma2(w, idx):
+        return pltpu.make_async_copy(c2i_ref.at[idx], buf2.at[w % k],
+                                     sem2.at[w % k])
+
+    def tick(t, c):
+        # finalize walker t-2K: gather2 landed -> trace + restart select
+        @pl.when(t >= 2 * k)
+        def _():
+            w = t - 2 * k
+            dma2(w, 0).wait()
+            item = buf2[w % k, 0]
+            restart = u_ref[0, w, 2] < alpha_f
+            trace[w] = item
+            state[w, 0] = jnp.where(restart, org_ref[2 * w],
+                                    buf2[w % k, 1])
+            state[w, 1] = jnp.where(restart, org_ref[2 * w + 1],
+                                    buf2[w % k, 2])
+
+        # stage2 for walker t-K: gather1 landed -> issue gather2
+        @pl.when((t >= k) & (t < b + k))
+        def _():
+            w = t - k
+            dma1(w, idx1s[w % k]).wait()
+            s2 = buf1[w % k, 0]
+            d2 = buf1[w % k, 1]
+            dma2(w, s2 + _slot(u_ref[0, w, 1], d2)).start()
+
+        # issue gather1 for walker t
+        @pl.when(t < b)
+        def _():
+            idx = state[t, 0] + _slot(u_ref[0, t, 0], state[t, 1])
+            idx1s[t % k] = idx
+            dma1(t, idx).start()
+        return c
+
+    jax.lax.fori_loop(0, b + 2 * k, tick, 0, unroll=False)
+
+    out = pltpu.make_async_copy(trace, out_ref.at[h], sem_out)
+    out.start()
+    out.wait()
+
+
+@partial(jax.jit, static_argnames=("n_hops", "alpha", "interpret"))
+def pallas_walks_from_fused_tables(tables, nodeset: jnp.ndarray,
+                                   n_hops: int, alpha: float,
+                                   key: jax.Array,
+                                   interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for walks_from_fused_tables (same tables, same trace [B, H])."""
+    origin_ext, i2c_ext, c2i_ext = tables
+    nodeset = nodeset.astype(jnp.int32)
+    b = nodeset.shape[0]
+    uniforms = jax.random.uniform(key, (n_hops, b, 3))
+    org = origin_ext[nodeset].astype(jnp.int32).reshape(-1)  # [2B] SMEM
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_hops,),
+        in_specs=[
+            pl.BlockSpec((1, b, 3), lambda h, org: (h, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # i2c_ext (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # c2i_ext (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.SMEM((b, 2), jnp.int32),           # walker state
+            pltpu.SMEM((K_INFLIGHT,), jnp.int32),    # issued gather1 addrs
+            pltpu.SMEM((K_INFLIGHT, 2), jnp.int32),  # gather1 rows
+            pltpu.SMEM((K_INFLIGHT, 3), jnp.int32),  # gather2 rows
+            pltpu.SMEM((b,), jnp.int32),             # hop trace row
+            pltpu.SemaphoreType.DMA((K_INFLIGHT,)),
+            pltpu.SemaphoreType.DMA((K_INFLIGHT,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    trace = pl.pallas_call(
+        partial(_walk_kernel, alpha=alpha, n_walkers=b),
+        out_shape=jax.ShapeDtypeStruct((n_hops, b), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(org, uniforms, i2c_ext.astype(jnp.int32), c2i_ext.astype(jnp.int32))
+    return trace.T  # [B, n_hops], same layout as walks_from_fused_tables
