@@ -10,13 +10,19 @@ walk — both gathers, slot arithmetic, restart select, trace write — fused
 into ONE Pallas kernel with an explicit multi-walker in-flight DMA pipeline,
 so hop h+1's row fetches for walker w overlap hop h's for walkers w+1..w+K.
 
+Layout: Mosaic requires HBM DMA slices to be 128-lane aligned, so the 2-3
+int32 edge records are repacked into 8-int32 slots, 16 records per 128-lane
+line ([n/16, 128] int32); each gather DMAs ONE aligned line (512 B — the
+same order as the HBM transaction the hardware gather engine moves for an
+8 B row) into SMEM and reads its scalars at lane offset (idx % 16) * 8.
+
 Schedule (grid = one step per hop, sequential on the scalar core):
 
     tick t of B+2K:   finalize(t-2K)  <- wait gather2, restart select,
                                          state + trace update
                       stage2(t-K)     <- wait gather1, issue gather2
                       issue1(t)       <- slot arith, issue gather1
-    K in-flight single-row DMAs per stage; per-walker state (row start,
+    K in-flight single-line DMAs per stage; per-walker state (row start,
     degree) lives in SMEM; the hop's [B, 3] uniform block is pipeline-
     streamed into SMEM; the finished [B] trace row is DMA'd SMEM -> HBM.
 
@@ -39,7 +45,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-K_INFLIGHT = 8  # DMA pipeline depth per gather stage
+K_INFLIGHT = 8   # DMA pipeline depth per gather stage
+REC = 8          # int32 slots per edge record (16 records / 128-lane line)
+PER_LINE = 128 // REC
+
+
+def _pack_records(tbl: jnp.ndarray) -> jnp.ndarray:
+    """[n, w<=REC] int32 -> [ceil(n/16), 128]; record i lives at line
+    i // 16, lanes (i % 16) * 8 .. +w.  Whole lines are 128-lane aligned,
+    records never straddle a line."""
+    n, w = tbl.shape
+    n_pad = ((n + PER_LINE - 1) // PER_LINE) * PER_LINE
+    rec = jnp.zeros((n_pad, REC), jnp.int32).at[:n, :w].set(
+        tbl.astype(jnp.int32))
+    return rec.reshape(-1, 128)
 
 
 def _slot(u, deg):
@@ -49,18 +68,18 @@ def _slot(u, deg):
 
 
 def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
-                 state, idx1s, buf1, buf2, trace,
+                 state, idx1s, idx2s, buf1, buf2, trace,
                  sem1, sem2, sem_out, *, alpha: float, n_walkers: int):
     """One grid step = one two-step hop for all n_walkers walkers.
 
     org_ref  SMEM scalar-prefetch [2B] int32: (i2c start, deg) per origin
     u_ref    SMEM block [1, B, 3] f32: this hop's uniforms
-    i2c_ref  HBM [nnz, 2] int32: per item->col edge, target col's c2i extents
-    c2i_ref  HBM [nnz, 3] int32: per col->item edge, (item, i2c start, deg)
+    i2c_ref  HBM [n1/16, 128] packed: per item->col edge, col's c2i extents
+    c2i_ref  HBM [n2/16, 128] packed: (item, i2c start, i2c deg) per edge
     out_ref  HBM [H, B] int32 trace (manual DMA row per hop)
     state    SMEM [B, 2]: walker's current (row start, degree)
-    idx1s    SMEM [K]: issued gather1 addresses (to rebuild DMA for wait)
-    buf1/2   SMEM [K, 2] / [K, 3] landing rows; sem1/2 DMA[K]; trace SMEM [B]
+    idx1s/2s SMEM [K]: issued record indices (rebuild DMA + lane offset)
+    buf1/2   SMEM [K, 128] landing lines; sem1/2 DMA[K]; trace SMEM [B]
     """
     h = pl.program_id(0)
     k = K_INFLIGHT
@@ -76,35 +95,41 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
         jax.lax.fori_loop(0, b, init, 0, unroll=False)
 
     def dma1(w, idx):
-        return pltpu.make_async_copy(i2c_ref.at[idx], buf1.at[w % k],
-                                     sem1.at[w % k])
+        return pltpu.make_async_copy(i2c_ref.at[idx // PER_LINE],
+                                     buf1.at[w % k], sem1.at[w % k])
 
     def dma2(w, idx):
-        return pltpu.make_async_copy(c2i_ref.at[idx], buf2.at[w % k],
-                                     sem2.at[w % k])
+        return pltpu.make_async_copy(c2i_ref.at[idx // PER_LINE],
+                                     buf2.at[w % k], sem2.at[w % k])
 
     def tick(t, c):
         # finalize walker t-2K: gather2 landed -> trace + restart select
         @pl.when(t >= 2 * k)
         def _():
             w = t - 2 * k
-            dma2(w, 0).wait()
-            item = buf2[w % k, 0]
+            idx = idx2s[w % k]
+            dma2(w, idx).wait()
+            lane = (idx % PER_LINE) * REC
+            item = buf2[w % k, lane]
             restart = u_ref[0, w, 2] < alpha_f
             trace[w] = item
             state[w, 0] = jnp.where(restart, org_ref[2 * w],
-                                    buf2[w % k, 1])
+                                    buf2[w % k, lane + 1])
             state[w, 1] = jnp.where(restart, org_ref[2 * w + 1],
-                                    buf2[w % k, 2])
+                                    buf2[w % k, lane + 2])
 
         # stage2 for walker t-K: gather1 landed -> issue gather2
         @pl.when((t >= k) & (t < b + k))
         def _():
             w = t - k
-            dma1(w, idx1s[w % k]).wait()
-            s2 = buf1[w % k, 0]
-            d2 = buf1[w % k, 1]
-            dma2(w, s2 + _slot(u_ref[0, w, 1], d2)).start()
+            idx = idx1s[w % k]
+            dma1(w, idx).wait()
+            lane = (idx % PER_LINE) * REC
+            s2 = buf1[w % k, lane]
+            d2 = buf1[w % k, lane + 1]
+            idx2 = s2 + _slot(u_ref[0, w, 1], d2)
+            idx2s[w % k] = idx2
+            dma2(w, idx2).start()
 
         # issue gather1 for walker t
         @pl.when(t < b)
@@ -126,11 +151,20 @@ def pallas_walks_from_fused_tables(tables, nodeset: jnp.ndarray,
                                    n_hops: int, alpha: float,
                                    key: jax.Array,
                                    interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for walks_from_fused_tables (same tables, same trace [B, H])."""
+    """Drop-in for walks_from_fused_tables (same tables, same trace [B, H]).
+
+    B is padded to a multiple of 128 internally (the per-hop trace row is
+    DMA'd as a full 128-lane-aligned HBM row).
+    """
     origin_ext, i2c_ext, c2i_ext = tables
     nodeset = nodeset.astype(jnp.int32)
-    b = nodeset.shape[0]
-    uniforms = jax.random.uniform(key, (n_hops, b, 3))
+    b0 = nodeset.shape[0]
+    b = ((b0 + 127) // 128) * 128
+    nodeset = jnp.zeros((b,), jnp.int32).at[:b0].set(nodeset)
+    # uniforms drawn at the CALLER's batch size (bit-identity with the XLA
+    # walker under the same key); pad walkers consume u=0 deterministically
+    uniforms = jnp.zeros((n_hops, b, 3), jnp.float32).at[:, :b0].set(
+        jax.random.uniform(key, (n_hops, b0, 3)))
     org = origin_ext[nodeset].astype(jnp.int32).reshape(-1)  # [2B] SMEM
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -139,15 +173,16 @@ def pallas_walks_from_fused_tables(tables, nodeset: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, b, 3), lambda h, org: (h, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # i2c_ext (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),      # c2i_ext (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # i2c lines (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # c2i lines (HBM)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.SMEM((b, 2), jnp.int32),           # walker state
-            pltpu.SMEM((K_INFLIGHT,), jnp.int32),    # issued gather1 addrs
-            pltpu.SMEM((K_INFLIGHT, 2), jnp.int32),  # gather1 rows
-            pltpu.SMEM((K_INFLIGHT, 3), jnp.int32),  # gather2 rows
+            pltpu.SMEM((K_INFLIGHT,), jnp.int32),    # gather1 record idxs
+            pltpu.SMEM((K_INFLIGHT,), jnp.int32),    # gather2 record idxs
+            pltpu.SMEM((K_INFLIGHT, 128), jnp.int32),  # gather1 lines
+            pltpu.SMEM((K_INFLIGHT, 128), jnp.int32),  # gather2 lines
             pltpu.SMEM((b,), jnp.int32),             # hop trace row
             pltpu.SemaphoreType.DMA((K_INFLIGHT,)),
             pltpu.SemaphoreType.DMA((K_INFLIGHT,)),
@@ -160,5 +195,5 @@ def pallas_walks_from_fused_tables(tables, nodeset: jnp.ndarray,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(org, uniforms, i2c_ext.astype(jnp.int32), c2i_ext.astype(jnp.int32))
-    return trace.T  # [B, n_hops], same layout as walks_from_fused_tables
+    )(org, uniforms, _pack_records(i2c_ext), _pack_records(c2i_ext))
+    return trace.T[:b0]  # [B, n_hops], same layout as walks_from_fused_tables

@@ -8,9 +8,9 @@ B/H, same in-jit R-rep difference methodology (RESULTS.md).  Also checks
 the two traces are bit-identical on the chip, not just in interpret mode.
 
 The Pallas walker's B is SMEM-bound (state + uniforms + trace rows are
-per-walker scalars), so the A/B runs at B=2048 with the XLA walker timed
-at both B=2048 (like-for-like) and B=100k (its production shape).
-Prints one JSON line.
+per-walker scalars), so the A/B runs like-for-like at B=2048; the XLA
+walker's production-shape rate (B=100k) is in the roofline/locality
+entries of RESULTS.md.  Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -30,7 +30,6 @@ def main() -> None:
     ap.add_argument("--walkers", type=int, default=2048)
     ap.add_argument("--hops", type=int, default=500)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--big-walkers", type=int, default=100_000)
     args = ap.parse_args()
 
     import jax
@@ -93,23 +92,20 @@ def main() -> None:
             f"(diffs {[round(x, 3) for x in diffs]})")
         return round(r / 1e6, 1)
 
-    def xla_walk(key, nodeset):
-        return walks_from_fused_tables(tables, nodeset, H, 0.85, key)
+    xla_walk = jax.jit(lambda key, nodeset: walks_from_fused_tables(
+        tables, nodeset, H, 0.85, key))
 
     def pallas_walk(key, nodeset):
         return pallas_walks_from_fused_tables(tables, nodeset, H, 0.85, key)
 
     nodeset = jnp.asarray(rng.integers(0, 100_000, B), jnp.int32)
-    big = jnp.asarray(rng.integers(0, 100_000, args.big_walkers), jnp.int32)
 
-    # hardware bit-identity first (cheap: one small call each)
+    # hardware bit-identity at the timing shape (jitted: 2 dispatches)
     key = jax.random.PRNGKey(99)
-    small = nodeset[:256]
-    ref = np.asarray(walks_from_fused_tables(tables, small, 64, 0.85, key))
-    got = np.asarray(pallas_walks_from_fused_tables(tables, small, 64,
-                                                    0.85, key))
+    ref = np.asarray(xla_walk(key, nodeset))
+    got = np.asarray(pallas_walk(key, nodeset))
     bit_identical = bool((ref == got).all())
-    log(f"hardware bit-identity (B=256, H=64): {bit_identical}")
+    log(f"hardware bit-identity (B={B}, H={H}): {bit_identical}")
 
     results = {
         "walkers": B, "hops": H,
@@ -117,8 +113,6 @@ def main() -> None:
         "xla_hops_per_s_M": rate(xla_walk, nodeset, f"XLA walker B={B}"),
         "pallas_hops_per_s_M": rate(pallas_walk, nodeset,
                                     f"Pallas walker B={B}"),
-        "xla_bigB_hops_per_s_M": rate(xla_walk, big,
-                                      f"XLA walker B={args.big_walkers}"),
     }
     print(json.dumps(results))
 
