@@ -51,14 +51,16 @@ PER_LINE = 128 // REC
 
 
 def _pack_records(tbl: jnp.ndarray) -> jnp.ndarray:
-    """[n, w<=REC] int32 -> [ceil(n/16), 128]; record i lives at line
-    i // 16, lanes (i % 16) * 8 .. +w.  Whole lines are 128-lane aligned,
-    records never straddle a line."""
+    """[n, w<=REC] int32 -> flat [ceil(n/16)*128]; record i lives at flat
+    offset (i // 16) * 128 + (i % 16) * 8.  Each 128-lane line is fetched
+    as one lane-aligned 1-D DMA window (Mosaic: HBM slices must be 128-lane
+    aligned, and 2-D row slices would additionally need 8-sublane
+    alignment — flat 1-D windows sidestep the sublane rule)."""
     n, w = tbl.shape
     n_pad = ((n + PER_LINE - 1) // PER_LINE) * PER_LINE
     rec = jnp.zeros((n_pad, REC), jnp.int32).at[:n, :w].set(
         tbl.astype(jnp.int32))
-    return rec.reshape(-1, 128)
+    return rec.reshape(-1)
 
 
 def _slot(u, deg):
@@ -74,9 +76,9 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
 
     org_ref  SMEM scalar-prefetch [2B] int32: (i2c start, deg) per origin
     u_ref    SMEM block [1, B, 3] f32: this hop's uniforms
-    i2c_ref  HBM [n1/16, 128] packed: per item->col edge, col's c2i extents
-    c2i_ref  HBM [n2/16, 128] packed: (item, i2c start, i2c deg) per edge
-    out_ref  HBM [H, B] int32 trace (manual DMA row per hop)
+    i2c_ref  HBM flat packed lines: per item->col edge, col's c2i extents
+    c2i_ref  HBM flat packed lines: (item, i2c start, i2c deg) per edge
+    out_ref  HBM flat [H*B] int32 trace (manual DMA of one B-row per hop)
     state    SMEM [B, 2]: walker's current (row start, degree)
     idx1s/2s SMEM [K]: issued record indices (rebuild DMA + lane offset)
     buf1/2   SMEM [K, 128] landing lines; sem1/2 DMA[K]; trace SMEM [B]
@@ -95,11 +97,13 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
         jax.lax.fori_loop(0, b, init, 0, unroll=False)
 
     def dma1(w, idx):
-        return pltpu.make_async_copy(i2c_ref.at[idx // PER_LINE],
+        off = pl.multiple_of((idx // PER_LINE) * 128, 128)
+        return pltpu.make_async_copy(i2c_ref.at[pl.ds(off, 128)],
                                      buf1.at[w % k], sem1.at[w % k])
 
     def dma2(w, idx):
-        return pltpu.make_async_copy(c2i_ref.at[idx // PER_LINE],
+        off = pl.multiple_of((idx // PER_LINE) * 128, 128)
+        return pltpu.make_async_copy(c2i_ref.at[pl.ds(off, 128)],
                                      buf2.at[w % k], sem2.at[w % k])
 
     def tick(t, c):
@@ -141,7 +145,8 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
 
     jax.lax.fori_loop(0, b + 2 * k, tick, 0, unroll=False)
 
-    out = pltpu.make_async_copy(trace, out_ref.at[h], sem_out)
+    row = pl.multiple_of(h * b, 128)  # b is a multiple of 128
+    out = pltpu.make_async_copy(trace, out_ref.at[pl.ds(row, b)], sem_out)
     out.start()
     out.wait()
 
@@ -191,9 +196,10 @@ def pallas_walks_from_fused_tables(tables, nodeset: jnp.ndarray,
     )
     trace = pl.pallas_call(
         partial(_walk_kernel, alpha=alpha, n_walkers=b),
-        out_shape=jax.ShapeDtypeStruct((n_hops, b), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_hops * b,), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(org, uniforms, _pack_records(i2c_ext), _pack_records(c2i_ext))
-    return trace.T[:b0]  # [B, n_hops], same layout as walks_from_fused_tables
+    # [B, n_hops], same layout as walks_from_fused_tables
+    return trace.reshape(n_hops, b).T[:b0]
