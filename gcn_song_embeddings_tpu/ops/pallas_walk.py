@@ -10,11 +10,14 @@ walk — both gathers, slot arithmetic, restart select, trace write — fused
 into ONE Pallas kernel with an explicit multi-walker in-flight DMA pipeline,
 so hop h+1's row fetches for walker w overlap hop h's for walkers w+1..w+K.
 
-Layout: Mosaic requires HBM DMA slices to be 128-lane aligned, so the 2-3
-int32 edge records are repacked into 8-int32 slots, 16 records per 128-lane
-line ([n/16, 128] int32); each gather DMAs ONE aligned line (512 B — the
-same order as the HBM transaction the hardware gather engine moves for an
-8 B row) into SMEM and reads its scalars at lane offset (idx % 16) * 8.
+Layout: Mosaic requires HBM DMA windows to be aligned to the (8, 128)
+int32 tile — 1024 elements / 4 KB — so the 2-3 int32 edge records are
+repacked into 8-int32 slots (so a record never straddles a tile) and each
+gather DMAs the ONE aligned 4 KB window containing its record into SMEM,
+reading the scalars at offset (idx * 8) % 1024.  That 4 KB-per-8 B-record
+amplification is itself part of the measured answer: the DMA path cannot
+issue the sub-transaction random row reads the hardware gather engine is
+built around.
 
 Schedule (grid = one step per hop, sequential on the scalar core):
 
@@ -45,19 +48,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-K_INFLIGHT = 8   # DMA pipeline depth per gather stage
-REC = 8          # int32 slots per edge record (16 records / 128-lane line)
-PER_LINE = 128 // REC
+K_INFLIGHT = 4   # DMA pipeline depth per gather stage
+REC = 8          # int32 slots per edge record
+WIN = 1024       # DMA window: the (8, 128) int32 HBM tile, 4 KB
 
 
 def _pack_records(tbl: jnp.ndarray) -> jnp.ndarray:
-    """[n, w<=REC] int32 -> flat [ceil(n/16)*128]; record i lives at flat
-    offset (i // 16) * 128 + (i % 16) * 8.  Each 128-lane line is fetched
-    as one lane-aligned 1-D DMA window (Mosaic: HBM slices must be 128-lane
-    aligned, and 2-D row slices would additionally need 8-sublane
-    alignment — flat 1-D windows sidestep the sublane rule)."""
+    """[n, w<=REC] int32 -> flat [ceil(n*8/1024)*1024]; record i lives at
+    flat offset i * 8, fetched via the aligned 4 KB window containing it
+    (Mosaic: 1-D int32 HBM DMA slices must be 1024-element tile-aligned;
+    a record never straddles a window since 1024 % 8 == 0)."""
     n, w = tbl.shape
-    n_pad = ((n + PER_LINE - 1) // PER_LINE) * PER_LINE
+    n_pad = ((n + 127) // 128) * 128          # flat multiple of 1024
     rec = jnp.zeros((n_pad, REC), jnp.int32).at[:n, :w].set(
         tbl.astype(jnp.int32))
     return rec.reshape(-1)
@@ -81,7 +83,7 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
     out_ref  HBM flat [H*B] int32 trace (manual DMA of one B-row per hop)
     state    SMEM [B, 2]: walker's current (row start, degree)
     idx1s/2s SMEM [K]: issued record indices (rebuild DMA + lane offset)
-    buf1/2   SMEM [K, 128] landing lines; sem1/2 DMA[K]; trace SMEM [B]
+    buf1/2   SMEM [K, 1024] landing windows; sem1/2 DMA[K]; trace SMEM [B]
     """
     h = pl.program_id(0)
     k = K_INFLIGHT
@@ -97,13 +99,13 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
         jax.lax.fori_loop(0, b, init, 0, unroll=False)
 
     def dma1(w, idx):
-        off = pl.multiple_of((idx // PER_LINE) * 128, 128)
-        return pltpu.make_async_copy(i2c_ref.at[pl.ds(off, 128)],
+        win = pl.multiple_of((idx * REC) // WIN * WIN, WIN)
+        return pltpu.make_async_copy(i2c_ref.at[pl.ds(win, WIN)],
                                      buf1.at[w % k], sem1.at[w % k])
 
     def dma2(w, idx):
-        off = pl.multiple_of((idx // PER_LINE) * 128, 128)
-        return pltpu.make_async_copy(c2i_ref.at[pl.ds(off, 128)],
+        win = pl.multiple_of((idx * REC) // WIN * WIN, WIN)
+        return pltpu.make_async_copy(c2i_ref.at[pl.ds(win, WIN)],
                                      buf2.at[w % k], sem2.at[w % k])
 
     def tick(t, c):
@@ -113,7 +115,7 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
             w = t - 2 * k
             idx = idx2s[w % k]
             dma2(w, idx).wait()
-            lane = (idx % PER_LINE) * REC
+            lane = (idx * REC) % WIN
             item = buf2[w % k, lane]
             restart = u_ref[0, w, 2] < alpha_f
             trace[w] = item
@@ -128,7 +130,7 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
             w = t - k
             idx = idx1s[w % k]
             dma1(w, idx).wait()
-            lane = (idx % PER_LINE) * REC
+            lane = (idx * REC) % WIN
             s2 = buf1[w % k, lane]
             d2 = buf1[w % k, lane + 1]
             idx2 = s2 + _slot(u_ref[0, w, 1], d2)
@@ -145,7 +147,7 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
 
     jax.lax.fori_loop(0, b + 2 * k, tick, 0, unroll=False)
 
-    row = pl.multiple_of(h * b, 128)  # b is a multiple of 128
+    row = pl.multiple_of(h * b, WIN)  # b is a multiple of 1024
     out = pltpu.make_async_copy(trace, out_ref.at[pl.ds(row, b)], sem_out)
     out.start()
     out.wait()
@@ -158,13 +160,13 @@ def pallas_walks_from_fused_tables(tables, nodeset: jnp.ndarray,
                                    interpret: bool = False) -> jnp.ndarray:
     """Drop-in for walks_from_fused_tables (same tables, same trace [B, H]).
 
-    B is padded to a multiple of 128 internally (the per-hop trace row is
-    DMA'd as a full 128-lane-aligned HBM row).
+    B is padded to a multiple of 1024 internally (the per-hop trace row
+    is DMA'd as tile-aligned 1-D windows).
     """
     origin_ext, i2c_ext, c2i_ext = tables
     nodeset = nodeset.astype(jnp.int32)
     b0 = nodeset.shape[0]
-    b = ((b0 + 127) // 128) * 128
+    b = ((b0 + WIN - 1) // WIN) * WIN     # trace-row DMA is tile-aligned
     nodeset = jnp.zeros((b,), jnp.int32).at[:b0].set(nodeset)
     # uniforms drawn at the CALLER's batch size (bit-identity with the XLA
     # walker under the same key); pad walkers consume u=0 deterministically
@@ -186,8 +188,8 @@ def pallas_walks_from_fused_tables(tables, nodeset: jnp.ndarray,
             pltpu.SMEM((b, 2), jnp.int32),           # walker state
             pltpu.SMEM((K_INFLIGHT,), jnp.int32),    # gather1 record idxs
             pltpu.SMEM((K_INFLIGHT,), jnp.int32),    # gather2 record idxs
-            pltpu.SMEM((K_INFLIGHT, 128), jnp.int32),  # gather1 lines
-            pltpu.SMEM((K_INFLIGHT, 128), jnp.int32),  # gather2 lines
+            pltpu.SMEM((K_INFLIGHT, WIN), jnp.int32),  # gather1 windows
+            pltpu.SMEM((K_INFLIGHT, WIN), jnp.int32),  # gather2 windows
             pltpu.SMEM((b,), jnp.int32),             # hop trace row
             pltpu.SemaphoreType.DMA((K_INFLIGHT,)),
             pltpu.SemaphoreType.DMA((K_INFLIGHT,)),
