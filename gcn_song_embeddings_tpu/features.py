@@ -373,29 +373,31 @@ class VGGish(Embedder):
 
 
 class MusicNN(Embedder):
-    """musicnn-style audio embedder (reference
+    """MTT_musicnn audio embedder (reference
     generate_node_features.py:251-271, commented out): timbral (mel-span)
-    + temporal (envelope) front-end convolutions, residual midend, 200-d
-    penultimate dense backend over 3 s log-mel patches, mean-pooled
+    + temporal (envelope) front-end convolutions, residual midend, over
+    3 s log-mel patches, mean-pooled across patches
     (models/audio_embedders.py).  `weights_path` restores an .npz; else
     seeded random-init with a one-time untrained warning.
 
-    SEMANTIC DIVERGENCE vs the reference (ADVICE r1): the reference's
-    commented-out MusicNN extractor reads `features['max_pool']` from the
-    musicnn taggram API, not the 200-d penultimate layer used here.
-    Reference-precomputed `features_musicnn` directories therefore carry
-    different vectors than natively generated ones; keep them in separate
-    feature dirs (EmbLoader consumes either, by name)."""
+    `feature` selects the extractor tap, matching musicnn's feature dict:
+    'max_pool' (753-d, the reference's choice —
+    generate_node_features.py:266-268), 'mean_pool' (753-d), or
+    'penultimate' (200-d, the alternative the reference comments at
+    :267)."""
 
     name = "musicnn"
-    dim = 200
 
     def __init__(self, weights_path: str | None = None, seed: int = 0,
-                 clips_per_chunk: int = 16):
+                 clips_per_chunk: int = 16, feature: str = "max_pool"):
         from gcn_song_embeddings_tpu.models import audio_embedders as ae
 
         self._ae = ae
         self.clips_per_chunk = clips_per_chunk
+        self.feature = feature
+        self.dim = {"max_pool": ae.MUSICNN_POOL,
+                    "mean_pool": ae.MUSICNN_POOL,
+                    "penultimate": ae.MUSICNN_PENULT}[feature]
         if weights_path:
             self.params = ae.load_weights(weights_path)
         else:
@@ -411,7 +413,8 @@ class MusicNN(Embedder):
         for s in range(0, clips.shape[0], self.clips_per_chunk):
             patches, n_p = ae.musicnn_log_mel_patches(
                 clips[s:s + self.clips_per_chunk])
-            emb = np.asarray(ae.musicnn_forward(self.params, patches))
+            emb = np.asarray(ae.musicnn_forward(self.params, patches,
+                                                feature=self.feature))
             out.append(emb.reshape(-1, n_p, self.dim).mean(axis=1))
         return np.concatenate(out, axis=0)
 

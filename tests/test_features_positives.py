@@ -323,10 +323,12 @@ def test_checkpoint_conversion_torch_parity():
         c0 = torch.nn.Conv2d(cins[bi], couts[bi], 3, padding=1)
         b0 = torch.nn.BatchNorm2d(couts[bi], eps=1e-3)
         c1 = torch.nn.Conv2d(couts[bi], couts[bi], 3, padding=1)
-        b1 = torch.nn.BatchNorm2d(couts[bi], eps=1e-3)
+        # the real net's final conv (audio_embedding_layer) has no BN
+        b1 = torch.nn.BatchNorm2d(couts[bi], eps=1e-3) if bi < 3 else None
         blocks.append((c0, b0, c1, b1))
-        mods += [(f"c{bi}0", c0), (f"bn{bi}0", b0),
-                 (f"c{bi}1", c1), (f"bn{bi}1", b1)]
+        mods += [(f"c{bi}0", c0), (f"bn{bi}0", b0), (f"c{bi}1", c1)]
+        if b1 is not None:
+            mods += [(f"bn{bi}1", b1)]
     model = torch.nn.Sequential()  # container to get an ordered state_dict
     for name, m in mods:
         model.add_module(name, m)
@@ -344,9 +346,9 @@ def test_checkpoint_conversion_torch_parity():
         h = layers["bn_in"](x)
         for bi, (c0, b0, c1, b1) in enumerate(blocks):
             h = torch.relu(b0(c0(h)))
-            h = torch.relu(b1(c1(h)))
+            h = c1(h)
             if bi < 3:
-                h = torch.nn.functional.max_pool2d(h, 2)
+                h = torch.nn.functional.max_pool2d(torch.relu(b1(h)), 2)
         h = torch.nn.functional.max_pool2d(h, (16, 24))
         ref = h.reshape(2, -1).numpy()
 
@@ -399,7 +401,10 @@ def test_musicnn_native_network(tmp_path):
 
     m = F.MusicNN(seed=3)
     emb = m.embed_batch(clips)
-    assert emb.shape == (2, 200) and np.isfinite(emb).all()
+    # default feature = 'max_pool', the reference's tap (753-d)
+    assert emb.shape == (2, ae.MUSICNN_POOL) and np.isfinite(emb).all()
+    pen = F.MusicNN(seed=3, feature="penultimate").embed_batch(clips)
+    assert pen.shape == (2, ae.MUSICNN_PENULT) and np.isfinite(pen).all()
     assert not np.allclose(emb[0], emb[1])           # tones separate
     np.testing.assert_array_equal(emb, F.MusicNN(seed=3).embed_batch(clips))
 
