@@ -124,6 +124,9 @@ def make_synthetic_dataset(
     return out_dir
 
 
+_STREAM_JSON_MIN = 200_000  # above this, make_hard_dataset streams JSON
+
+
 def _dump(path: str, obj) -> None:
     with open(path, "w", encoding="utf-8") as f:
         json.dump(obj, f)
@@ -241,14 +244,26 @@ def make_hard_dataset(
 
     # guarantee every track appears in >=1 playlist (walk kernels assume
     # degree >= 1, like the reference's randint over successors,
-    # pinsage_model.py:41-46) — attach missing tracks to an own-genre playlist
+    # pinsage_model.py:41-46) — attach missing tracks to an own-genre
+    # playlist (vectorized: genre-sorted column index + random offset into
+    # the genre's block; at 1M tracks `missing` can be 10^5-scale)
     missing = np.setdiff1d(np.arange(n_tracks), np.unique(e_track))
     if missing.size:
-        cols_by_genre = [np.where(col_genre == g0)[0] for g0 in range(n_genres)]
-        extra_cols = np.array([
-            int(rng.choice(cols_by_genre[genre[t]]))
-            if cols_by_genre[genre[t]].size else int(rng.integers(0, n_collections))
-            for t in missing])
+        g_order = np.argsort(col_genre, kind="stable")
+        g_starts = np.searchsorted(col_genre[g_order],
+                                   np.arange(n_genres + 1))
+        g_counts = np.diff(g_starts)
+        mg = genre[missing]
+        offs = (rng.random(missing.size)
+                * np.maximum(g_counts[mg], 1)).astype(np.int64)
+        extra_cols = g_order[np.minimum(g_starts[mg] + offs,
+                                        n_collections - 1)]
+        # genres with no playlist at all fall back to uniform
+        empty = g_counts[mg] == 0
+        if empty.any():
+            extra_cols = np.where(
+                empty, rng.integers(0, n_collections, size=missing.size),
+                extra_cols)
         e_track = np.concatenate([e_track, missing])
         col_of_edge = np.concatenate([col_of_edge, extra_cols])
 
@@ -265,39 +280,92 @@ def make_hard_dataset(
     width = max(6, len(str(n_tracks - 1)))
     track_ids = [f"t{i:0{width}d}" for i in range(n_tracks)]
     col_ids = [f"c{i:0{width}d}" for i in range(n_collections)]
-    tracks = {
-        tid: {
-            "name": f"Song {i}",
-            "artist": f"Artist {artist[i]}",
-            "artist_id": f"ar{artist[i]:06d}",
-            "album": f"Genre {genre[i]}",
-            "album_id": f"g{genre[i]:06d}",
-            "popularity": int(99 * track_pop[i] / track_pop.max()),
-            "preview_url": "" if cold[i] else f"clip{i}.mp3",
-        }
-        for i, tid in enumerate(track_ids)
-    }
     by_col = np.argsort(c_e, kind="stable")
     c_sorted, t_sorted = c_e[by_col], t_e[by_col]
     col_starts = np.searchsorted(c_sorted, np.arange(n_collections + 1))
-    collections = {}
-    for c in range(n_collections):
-        members = t_sorted[col_starts[c]:col_starts[c + 1]]
-        collections[col_ids[c]] = {
-            "type": "playlist",
-            "name": f"Playlist {c} (genre {col_genre[c]})",
-            "num_tracks": int(len(members)),
-            "description": "",
-            "ztracks": [track_ids[t] for t in members],
+    pop99 = (99 * track_pop / track_pop.max()).astype(np.int64)
+
+    if n_tracks >= _STREAM_JSON_MIN:
+        # dataset_large shape (VERDICT r2 item 6): building per-edge dicts
+        # allocates tens of millions of objects at 10^6 tracks — stream
+        # the SAME reference-format JSON in bounded batches instead (the
+        # multi-hundred-MB graph.json is what native/jsongraph.cc scans)
+        with open(os.path.join(out_dir, "tracks.json"), "w",
+                  encoding="utf-8") as f:
+            f.write("{")
+            f.write(",".join(
+                f'"{track_ids[i]}":{{"name":"Song {i}",'
+                f'"artist":"Artist {artist[i]}",'
+                f'"artist_id":"ar{artist[i]:06d}",'
+                f'"album":"Genre {genre[i]}","album_id":"g{genre[i]:06d}",'
+                f'"popularity":{pop99[i]},'
+                f'"preview_url":"{"" if cold[i] else f"clip{i}.mp3"}"}}'
+                for i in range(n_tracks)))
+            f.write("}")
+        with open(os.path.join(out_dir, "collections.json"), "w",
+                  encoding="utf-8") as f:
+            f.write("{")
+            parts = []
+            for c in range(n_collections):
+                members = t_sorted[col_starts[c]:col_starts[c + 1]]
+                zt = ",".join(f'"{track_ids[t]}"' for t in members)
+                parts.append(
+                    f'"{col_ids[c]}":{{"type":"playlist",'
+                    f'"name":"Playlist {c} (genre {col_genre[c]})",'
+                    f'"num_tracks":{len(members)},"description":"",'
+                    f'"ztracks":[{zt}]}}')
+                if len(parts) >= 4096:
+                    f.write(",".join(parts))
+                    parts = [""]  # leading comma for the next batch
+            f.write(",".join(parts))
+            f.write("}")
+        with open(os.path.join(out_dir, "graph.json"), "w",
+                  encoding="utf-8") as f:
+            f.write('{"tracks":[')
+            f.write(",".join(f'"{t}"' for t in track_ids))
+            f.write('],"collections":[')
+            f.write(",".join(f'"{c}"' for c in col_ids))
+            f.write('],"edges":[')
+            step = 1 << 18
+            for s in range(0, len(t_e), step):
+                chunk = ",".join(
+                    f'{{"from":"{track_ids[t]}","to":"{col_ids[c]}"}},'
+                    f'{{"from":"{col_ids[c]}","to":"{track_ids[t]}"}}'
+                    for t, c in zip(t_e[s:s + step], c_e[s:s + step]))
+                f.write(chunk if s == 0 else "," + chunk)
+            f.write("]}")
+    else:
+        tracks = {
+            tid: {
+                "name": f"Song {i}",
+                "artist": f"Artist {artist[i]}",
+                "artist_id": f"ar{artist[i]:06d}",
+                "album": f"Genre {genre[i]}",
+                "album_id": f"g{genre[i]:06d}",
+                "popularity": int(pop99[i]),
+                "preview_url": "" if cold[i] else f"clip{i}.mp3",
+            }
+            for i, tid in enumerate(track_ids)
         }
-    edge_list = []
-    for t, c in zip(t_e, c_e):
-        edge_list.append({"from": track_ids[t], "to": col_ids[c]})
-        edge_list.append({"from": col_ids[c], "to": track_ids[t]})
-    _dump(os.path.join(out_dir, "tracks.json"), tracks)
-    _dump(os.path.join(out_dir, "collections.json"), collections)
-    _dump(os.path.join(out_dir, "graph.json"),
-          {"tracks": track_ids, "collections": col_ids, "edges": edge_list})
+        collections = {}
+        for c in range(n_collections):
+            members = t_sorted[col_starts[c]:col_starts[c + 1]]
+            collections[col_ids[c]] = {
+                "type": "playlist",
+                "name": f"Playlist {c} (genre {col_genre[c]})",
+                "num_tracks": int(len(members)),
+                "description": "",
+                "ztracks": [track_ids[t] for t in members],
+            }
+        edge_list = []
+        for t, c in zip(t_e, c_e):
+            edge_list.append({"from": track_ids[t], "to": col_ids[c]})
+            edge_list.append({"from": col_ids[c], "to": track_ids[t]})
+        _dump(os.path.join(out_dir, "tracks.json"), tracks)
+        _dump(os.path.join(out_dir, "collections.json"), collections)
+        _dump(os.path.join(out_dir, "graph.json"),
+              {"tracks": track_ids, "collections": col_ids,
+               "edges": edge_list})
 
     # --- positives: popularity-weighted, same-artist else same-genre ------
     q = np.searchsorted(track_cdf, rng.random(n_positives))
@@ -311,9 +379,18 @@ def make_hard_dataset(
         slot_cdf, rng.random(n_positives))]
     p = np.where(same_artist, pos_artist_same, pos_genre)
     keep = p != q
-    _dump(os.path.join(out_dir, "positives.json"),
-          [{"a": track_ids[int(x)], "b": track_ids[int(y)]}
-           for x, y in zip(q[keep], p[keep])])
+    if n_tracks >= _STREAM_JSON_MIN:
+        with open(os.path.join(out_dir, "positives.json"), "w",
+                  encoding="utf-8") as f:
+            f.write("[")
+            f.write(",".join(
+                f'{{"a":"{track_ids[int(x)]}","b":"{track_ids[int(y)]}"}}'
+                for x, y in zip(q[keep], p[keep])))
+            f.write("]")
+    else:
+        _dump(os.path.join(out_dir, "positives.json"),
+              [{"a": track_ids[int(x)], "b": track_ids[int(y)]}
+               for x, y in zip(q[keep], p[keep])])
 
     # --- features: group centroid (+ noise), cold tracks noise-only -------
     centroids = rng.standard_normal((n_genres // genres_per_group,

@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--schedule", choices=("ref", "quick"), default="ref")
+    ap.add_argument("--dataset-kind", choices=("uniform", "hard"),
+                    default="uniform",
+                    help="'hard' = make_hard_dataset (power-law playlists, "
+                         "group-only features — the benchmark where "
+                         "hyperparameters can actually separate; VERDICT "
+                         "r2 item 4)")
     ap.add_argument("--work-dir", default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -32,7 +38,11 @@ def main() -> None:
     import jax
 
     from gcn_song_embeddings_tpu.config import RunConfig, config_with_overrides
-    from gcn_song_embeddings_tpu.data import SongGraph, make_synthetic_dataset
+    from gcn_song_embeddings_tpu.data import (
+        SongGraph,
+        make_hard_dataset,
+        make_synthetic_dataset,
+    )
     from gcn_song_embeddings_tpu.train.grid_search import grid_search
 
     print("devices:", jax.devices(), file=sys.stderr, flush=True)
@@ -40,10 +50,16 @@ def main() -> None:
     ds_path = os.path.join(work, "ds")
     if not all(os.path.isfile(os.path.join(ds_path, f)) for f in
                ("graph.json", "positives.json", "features.npy")):
-        make_synthetic_dataset(ds_path, n_tracks=20_000,
-                               n_collections=4_000, n_clusters=100,
-                               tracks_per_collection=30,
-                               n_positives=60_000, feature_dim=512, seed=0)
+        if args.dataset_kind == "hard":
+            make_hard_dataset(ds_path, n_tracks=20_000,
+                              n_collections=4_000, n_positives=60_000,
+                              seed=0)
+        else:
+            make_synthetic_dataset(ds_path, n_tracks=20_000,
+                                   n_collections=4_000, n_clusters=100,
+                                   tracks_per_collection=30,
+                                   n_positives=60_000, feature_dim=512,
+                                   seed=0)
     graph = SongGraph(ds_path,
                       features_file=os.path.join(ds_path, "features.npy"))
     graph.nbhds_path = os.path.join(ds_path, "neighborhoods.npz")
@@ -56,7 +72,9 @@ def main() -> None:
                 "train.lr": [1e-4, 1e-3],
                 "train.hard_negatives": [False, True],
                 "model.n_layers": [2, 4]}
-        default_out = "results/grid_search_refschedule.json"
+        default_out = ("results/grid_search_hard.json"
+                       if args.dataset_kind == "hard"
+                       else "results/grid_search_refschedule.json")
     else:
         epochs, bpe = 4, 500
         grid = {"train.margin": [0.1, 1e-5],

@@ -1,0 +1,95 @@
+"""Full baseline roster on the HARD benchmark (VERDICT r2 item 4).
+
+Round 2's only full-roster table ran on the saturated uniform synthetic
+(Features at the 1.000 ceiling — inverted vs what the framework now
+demonstrably does on hard data).  This script reruns the reference's
+eval_baselines equivalent (/root/reference/eval.py:413-467, dashboard.py:
+82-172) on `make_hard_dataset` (20k tracks, power-law playlists, features
+reveal only the genre-group): synth -> PinSage train (plain + hard-neg) ->
+CLI `eval` with the complete model roster -> accuracy + beyond-accuracy +
+cold-start tables.
+
+Expected ordering on this data: graph models (PinSage, PageRank, CF,
+node2vec) > content (Features) > Random, with the cold-start slices
+discriminating (low-degree queries lean on features).
+
+The kNN caches (~100 MB/model) go to the scratch dataset dir; only the
+CSV tables are copied into results/.
+
+Usage: python scripts/hard_roster.py [--work-dir DIR] [--epochs 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work-dir", default="/tmp/hard_roster")
+    ap.add_argument("--tracks", type=int, default=20_000)
+    ap.add_argument("--collections", type=int, default=4_000)
+    ap.add_argument("--positives", type=int, default=60_000)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--out-prefix", default="results/hard_roster")
+    args = ap.parse_args()
+
+    from gcn_song_embeddings_tpu import cli
+    from gcn_song_embeddings_tpu.data import make_hard_dataset
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
+    work = args.work_dir
+    ds = os.path.join(work, "ds")
+    runs = os.path.join(work, "runs")
+    os.makedirs(work, exist_ok=True)
+
+    if not all(os.path.isfile(os.path.join(ds, f)) for f in
+               ("graph.json", "positives.json", "features.npy")):
+        log("synthesizing hard dataset ...")
+        make_hard_dataset(ds, n_tracks=args.tracks,
+                          n_collections=args.collections,
+                          n_positives=args.positives, seed=0)
+    else:
+        log(f"reusing dataset in {ds}")
+
+    base_overrides = [
+        "--set", f"train.epochs={args.epochs}",
+        "--set", "train.lr=0.001",
+        "--set", "train.margin=0.1",
+        "--set", "walk.batch_walkers=8192",
+    ]
+    for run_name, extra in (
+            ("pinsage_hard", []),
+            ("pinsage_hard_hn", ["--set", "train.hard_negatives=true"])):
+        if os.path.isfile(os.path.join(runs, run_name, "emb.npy")):
+            log(f"reusing trained run {run_name}")
+            continue
+        log(f"training {run_name} ...")
+        cli.main(["train", "--dataset", ds, "--run-dir", runs,
+                  "--run-name", run_name] + base_overrides + extra)
+
+    eval_dir = os.path.join(work, "baselines")
+    log("evaluating full roster ...")
+    cli.main(["eval", "--dataset", ds, "--run-dir", runs,
+              "--eval-dir", eval_dir,
+              "--pinsage-runs", "pinsage_hard", "pinsage_hard_hn"])
+
+    os.makedirs(os.path.join(REPO, "results"), exist_ok=True)
+    for src, dst in (("results_accuracy.csv",
+                      f"{args.out_prefix}_accuracy.csv"),
+                     ("results_beyond.csv",
+                      f"{args.out_prefix}_beyond.csv")):
+        shutil.copy(os.path.join(eval_dir, src), os.path.join(REPO, dst))
+        log(f"copied {src} -> {dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--batches-per-epoch", type=int, default=500)
     ap.add_argument("--margin", type=float, default=0.1)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--hard", action="store_true",
+                    help="use make_hard_dataset (hierarchy/power-law "
+                         "recipe; features reveal only the genre-group) "
+                         "instead of the uniform generator, and report "
+                         "the raw-features baseline alongside PinSage "
+                         "(VERDICT r2 item 6)")
     ap.add_argument("--work-dir", default=None)
     args = ap.parse_args()
 
@@ -45,7 +51,11 @@ def main() -> None:
         RunConfig,
         config_with_overrides,
     )
-    from gcn_song_embeddings_tpu.data import SongGraph, make_synthetic_dataset
+    from gcn_song_embeddings_tpu.data import (
+        SongGraph,
+        make_hard_dataset,
+        make_synthetic_dataset,
+    )
     from gcn_song_embeddings_tpu.data.synth import make_synthetic_dataset_large
     from gcn_song_embeddings_tpu.data.device import DeviceGraph
     from gcn_song_embeddings_tpu.evals.device_eval import rank_eval
@@ -68,6 +78,18 @@ def main() -> None:
             # partial files); scale args are ignored on reuse
             log(f"reusing existing dataset in {ds_path}")
             ds = ds_path
+        elif args.hard:
+            # hierarchy recipe at dataset_large shape: artists of 20
+            # tracks, 25 artists/genre, twin-genre groups; playlist count
+            # scales with the catalog (mean Pareto size ~16 -> mean track
+            # degree ~4 at 1M/250k)
+            ds = make_hard_dataset(
+                ds_path, n_tracks=args.tracks,
+                n_collections=args.collections,
+                collection_size_range=(8, 400),
+                collection_size_alpha=2.0,
+                n_positives=args.positives,
+                feature_dim=args.feature_dim, seed=0)
         elif args.tracks >= 200_000:
             ds = make_synthetic_dataset_large(
                 ds_path, n_tracks=args.tracks,
@@ -113,6 +135,12 @@ def main() -> None:
         # fused on-device rank evaluation: no [N, 1000] kNN cache needed
         results = rank_eval(emb, test_pos, hit_ks=(100, 500), mrr_k=1000,
                             batch=4096)
+    r_feat = None
+    if args.hard:
+        with timer.phase("features_eval"):
+            r_feat = rank_eval(g.features, test_pos, hit_ks=(100, 500),
+                               mrr_k=1000, batch=4096)
+        log("raw features:", {k: round(v, 5) for k, v in r_feat.items()})
 
     hops = g.n_items * cfg.walk.n_hops
     summary = {
@@ -127,6 +155,11 @@ def main() -> None:
         "embed_tracks_per_s": round(g.n_items / timer.times["embed"], 0),
         "eval_pairs_per_s": round(len(test_pos) / timer.times["eval"], 0),
         "metrics": {k: round(v, 5) for k, v in results.items()},
+        **({"features_metrics":
+            {k: round(v, 5) for k, v in r_feat.items()},
+            "pinsage_over_features_hit100":
+            round(results["hit@100"] / max(r_feat["hit@100"], 1e-12), 3)}
+           if r_feat is not None else {}),
         "work_dir": work,
     }
     print(json.dumps(summary, indent=2))

@@ -32,6 +32,31 @@ def latent(hard_dir):
     return np.load(os.path.join(hard_dir, "latent.npz"))
 
 
+def test_streamed_writer_matches_dict_writer(tmp_path, monkeypatch):
+    """The dataset_large streaming JSON branch (n_tracks >=
+    _STREAM_JSON_MIN) must emit semantically identical files to the
+    small-scale dict writer — same graph, tracks, collections, positives,
+    features — so 1M-scale hard runs exercise the same benchmark."""
+    from gcn_song_embeddings_tpu.data import synth
+
+    kw = dict(n_tracks=1000, tracks_per_artist=10, artists_per_genre=10,
+              genres_per_group=2, n_collections=200, n_positives=3000,
+              feature_dim=16, seed=5)
+    a = make_hard_dataset(str(tmp_path / "dict"), **kw)
+    monkeypatch.setattr(synth, "_STREAM_JSON_MIN", 1)
+    b = make_hard_dataset(str(tmp_path / "stream"), **kw)
+    for fname in ("tracks.json", "collections.json", "graph.json",
+                  "positives.json"):
+        with open(os.path.join(a, fname)) as f:
+            da = json.load(f)
+        with open(os.path.join(b, fname)) as f:
+            db = json.load(f)
+        assert da == db, fname
+    np.testing.assert_array_equal(
+        np.load(os.path.join(a, "features.npy")),
+        np.load(os.path.join(b, "features.npy")))
+
+
 def test_structure_and_coverage(hard_dir, latent):
     g = json.load(open(os.path.join(hard_dir, "graph.json")))
     n = len(g["tracks"])
