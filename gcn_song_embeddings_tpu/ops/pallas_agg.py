@@ -29,6 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -131,12 +132,139 @@ def fused_gather_aggregate(h: jnp.ndarray, nb_nodes: jnp.ndarray,
     return out[:b]
 
 
+TILE_B_DMA = 256  # nodes per grid step for the DMA-pipelined variant
+
+
+def _dma_agg_kernel(ids_ref, w_ref, wq_ref, bq_ref, h_ref, out_ref,
+                    buf, sems, *, rows_per_tile: int, n_tiles: int):
+    """Grid (n_tiles,): double-buffered explicit row-DMA pipeline.
+
+    At grid step i the kernel issues ALL of tile i+1's neighbor-row DMAs
+    (HBM feature table -> VMEM half-buffer (i+1)%2) on the scalar core,
+    THEN waits tile i's rows and runs the fused Q-projection + weighted
+    mean on the MXU — so the next tile's scattered 2 KB row fetches ride
+    the DMA engines underneath the current tile's matmul.  This is the
+    pallas_walk template (deep manual DMA queue, wait-side descriptor
+    rebuild) applied to the aggregation gather, vs the existing
+    `fused_gather_aggregate` whose N_STREAMS block streams bound the
+    number of in-flight rows at 8 per pipeline step.
+
+    ids_ref  SMEM scalar-prefetch [n_tiles*rows_per_tile] int32 row ids
+    h_ref    HBM [N, 1, Din] feature table (untiled; single-row slices ok)
+    buf      VMEM [2*rows_per_tile, 1, Din] landing halves (dim 0 untiled)
+    sems     DMA sem [2], one per half
+    """
+    i = pl.program_id(0)
+    r_tile = rows_per_tile
+
+    def row_dma(tile, r, half):
+        idx = ids_ref[tile * r_tile + r]
+        return pltpu.make_async_copy(
+            h_ref.at[pl.ds(idx, 1)],
+            buf.at[pl.ds(half * r_tile + r, 1)],
+            sems.at[half])
+
+    def issue(tile):
+        half = lax.rem(tile, 2)
+
+        def body(r, c):
+            row_dma(tile, r, half).start()
+            return c
+        jax.lax.fori_loop(0, r_tile, body, 0, unroll=False)
+
+    @pl.when(i == 0)
+    def _():
+        issue(0)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        issue(i + 1)
+
+    half = lax.rem(i, 2)
+
+    def body(r, c):
+        row_dma(i, r, half).wait()
+        return c
+    jax.lax.fori_loop(0, r_tile, body, 0, unroll=False)
+
+    def compute(rows):  # rows: [r_tile, Din] staged neighbor features
+        t = w_ref.shape[1]
+        q = jnp.dot(rows, wq_ref[:], preferred_element_type=jnp.float32)
+        q = jax.nn.leaky_relu(q + bq_ref[0, :])
+        q = q.reshape(TILE_B_DMA, t, -1)
+        w = w_ref[:]
+        w_sum = jnp.sum(w, axis=1, keepdims=True)
+        denom = jnp.where(w_sum == 0.0, 1.0, w_sum)
+        out_ref[:] = jnp.sum(w[:, :, None] * q, axis=1) / denom
+
+    @pl.when(half == 0)
+    def _():
+        compute(buf[:r_tile, 0, :])
+
+    @pl.when(half == 1)
+    def _():
+        compute(buf[r_tile:, 0, :])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dma_gather_aggregate(h: jnp.ndarray, nb_nodes: jnp.ndarray,
+                         nb_weights: jnp.ndarray, Wq: jnp.ndarray,
+                         bq: jnp.ndarray, interpret: bool = False
+                         ) -> jnp.ndarray:
+    """DMA-pipelined fused gather+aggregate (same contract as
+    fused_gather_aggregate; B padded to TILE_B_DMA internally)."""
+    b, t = nb_nodes.shape
+    din = h.shape[1]
+    hdim = Wq.shape[0]
+    b_pad = ((b + TILE_B_DMA - 1) // TILE_B_DMA) * TILE_B_DMA
+    ids = jnp.zeros((b_pad, t), jnp.int32).at[:b].set(
+        nb_nodes.astype(jnp.int32)).reshape(-1)
+    w = jnp.zeros((b_pad, t), jnp.float32).at[:b].set(
+        nb_weights.astype(jnp.float32))
+    rows_per_tile = TILE_B_DMA * t
+    n_tiles = b_pad // TILE_B_DMA
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_B_DMA, t), lambda i, ids: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # Wq^T
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # bq
+            pl.BlockSpec(memory_space=pl.ANY),              # h table (HBM)
+        ],
+        out_specs=pl.BlockSpec((TILE_B_DMA, hdim), lambda i, ids: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * rows_per_tile, 1, din), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_dma_agg_kernel, rows_per_tile=rows_per_tile,
+                n_tiles=n_tiles),
+        out_shape=jax.ShapeDtypeStruct((b_pad, hdim), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, w, Wq.T.astype(jnp.float32),
+      bq.reshape(1, -1).astype(jnp.float32),
+      h.astype(jnp.float32).reshape(-1, 1, din))
+    return out[:b]
+
+
 def conv_aggregate(h, nb_nodes, nb_weights, Wq, bq, use_pallas: bool = False,
-                   interpret: bool = False):
-    """Importance-weighted neighbor aggregation; XLA or Pallas path."""
+                   interpret: bool = False, mode: str = "stream"):
+    """Importance-weighted neighbor aggregation; XLA or Pallas path.
+
+    mode (when use_pallas): "stream" = block-stream pipeline kernel,
+    "dma" = explicit double-buffered row-DMA kernel.
+    """
     if use_pallas:
-        return fused_gather_aggregate(h, nb_nodes, nb_weights, Wq, bq,
-                                      interpret=interpret)
+        fn = (dma_gather_aggregate if mode == "dma"
+              else fused_gather_aggregate)
+        return fn(h, nb_nodes, nb_weights, Wq, bq, interpret=interpret)
     nb = h[nb_nodes.reshape(-1)].reshape(*nb_nodes.shape, h.shape[1])
     q = jax.nn.leaky_relu(
         jnp.einsum("btd,hd->bth", nb, Wq,

@@ -33,10 +33,11 @@ The chain is BIT-IDENTICAL to `walks_from_fused_tables` under the same key:
 both consume `jax.random.uniform(key, (hops, B, 3))` in the same order with
 byte-for-byte the `uniform_slot` arithmetic (tests/test_pallas_walk.py).
 
-Measured outcome (RESULTS.md "walk kernel roofline + Pallas A/B"): the
-scalar-core DMA issue loop cannot approach the hardware gather engine XLA
-uses — this kernel exists as the measured A/B arm and the template for
-shapes where per-row DMA fusion wins (it is NOT the default path).
+Measured on-chip (round 3, results/pallas_walk_ab.out): B=2048, H=500 —
+this kernel 5.7M hops/s, BIT-IDENTICAL trace to the XLA walker's 87.8M
+hops/s.  The scalar-core DMA issue loop loses 15x to the hardware gather
+engine, so the XLA walker stays the default; this kernel is the measured
+A/B arm (K_INFLIGHT = 4 in-flight single-window DMAs per stage).
 """
 
 from __future__ import annotations
@@ -77,13 +78,20 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
     """One grid step = one two-step hop for all n_walkers walkers.
 
     org_ref  SMEM scalar-prefetch [2B] int32: (i2c start, deg) per origin
-    u_ref    SMEM block [1, B, 3] f32: this hop's uniforms
+    u_ref    SMEM block [1, 1, 3B] f32: this hop's uniforms, u[w,j] at
+             3w+j.  Flat in the lane dim: an SMEM block pads its LAST dim
+             to 128 lanes, so a [1, B, 3] block costs 42x its bytes and
+             blows the 1 MiB SMEM budget; and the pipeline requires the
+             last two block dims to divide (8, 128) or equal the array
+             dims, so the array is shaped [H, 1, 3B] with block
+             [1, 1, 3B] (results/pallas_walk_ab.log r3 attempts 1-2)
     i2c_ref  HBM flat packed lines: per item->col edge, col's c2i extents
     c2i_ref  HBM flat packed lines: (item, i2c start, i2c deg) per edge
     out_ref  HBM flat [H*B] int32 trace (manual DMA of one B-row per hop)
-    state    SMEM [B, 2]: walker's current (row start, degree)
+    state    SMEM flat [2B]: walker w's (row start, degree) at 2w, 2w+1
     idx1s/2s SMEM [K]: issued record indices (rebuild DMA + lane offset)
-    buf1/2   SMEM [K, 1024] landing windows; sem1/2 DMA[K]; trace SMEM [B]
+    buf1/2   SMEM flat [K*1024] landing windows (slot s at [s*WIN, WIN));
+             sem1/2 DMA[K]; trace SMEM [B]
     """
     h = pl.program_id(0)
     k = K_INFLIGHT
@@ -93,20 +101,28 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
     @pl.when(h == 0)
     def _():
         def init(w, c):
-            state[w, 0] = org_ref[2 * w]
-            state[w, 1] = org_ref[2 * w + 1]
+            state[2 * w] = org_ref[2 * w]
+            state[2 * w + 1] = org_ref[2 * w + 1]
             return c
         jax.lax.fori_loop(0, b, init, 0, unroll=False)
+
+    # Landing buffers are FLAT [K*WIN] SMEM: Mosaic tiles a 2-D [K, WIN]
+    # SMEM memref as (4, 128) and rejects single-row slices ("Slice shape
+    # along dimension 0 must be aligned to tiling (4)", results/
+    # pallas_walk_ab.log r2); a 1-D WIN-aligned window slice is tile-legal,
+    # exactly like the HBM side.
+    def slot_win(buf, w):
+        return buf.at[pl.ds(pl.multiple_of((w % k) * WIN, WIN), WIN)]
 
     def dma1(w, idx):
         win = pl.multiple_of((idx * REC) // WIN * WIN, WIN)
         return pltpu.make_async_copy(i2c_ref.at[pl.ds(win, WIN)],
-                                     buf1.at[w % k], sem1.at[w % k])
+                                     slot_win(buf1, w), sem1.at[w % k])
 
     def dma2(w, idx):
         win = pl.multiple_of((idx * REC) // WIN * WIN, WIN)
         return pltpu.make_async_copy(c2i_ref.at[pl.ds(win, WIN)],
-                                     buf2.at[w % k], sem2.at[w % k])
+                                     slot_win(buf2, w), sem2.at[w % k])
 
     def tick(t, c):
         # finalize walker t-2K: gather2 landed -> trace + restart select
@@ -115,14 +131,14 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
             w = t - 2 * k
             idx = idx2s[w % k]
             dma2(w, idx).wait()
-            lane = (idx * REC) % WIN
-            item = buf2[w % k, lane]
-            restart = u_ref[0, w, 2] < alpha_f
+            off = (w % k) * WIN + (idx * REC) % WIN
+            item = buf2[off]
+            restart = u_ref[0, 0, 3 * w + 2] < alpha_f
             trace[w] = item
-            state[w, 0] = jnp.where(restart, org_ref[2 * w],
-                                    buf2[w % k, lane + 1])
-            state[w, 1] = jnp.where(restart, org_ref[2 * w + 1],
-                                    buf2[w % k, lane + 2])
+            state[2 * w] = jnp.where(restart, org_ref[2 * w],
+                                     buf2[off + 1])
+            state[2 * w + 1] = jnp.where(restart, org_ref[2 * w + 1],
+                                         buf2[off + 2])
 
         # stage2 for walker t-K: gather1 landed -> issue gather2
         @pl.when((t >= k) & (t < b + k))
@@ -130,17 +146,18 @@ def _walk_kernel(org_ref, u_ref, i2c_ref, c2i_ref, out_ref,
             w = t - k
             idx = idx1s[w % k]
             dma1(w, idx).wait()
-            lane = (idx * REC) % WIN
-            s2 = buf1[w % k, lane]
-            d2 = buf1[w % k, lane + 1]
-            idx2 = s2 + _slot(u_ref[0, w, 1], d2)
+            off = (w % k) * WIN + (idx * REC) % WIN
+            s2 = buf1[off]
+            d2 = buf1[off + 1]
+            idx2 = s2 + _slot(u_ref[0, 0, 3 * w + 1], d2)
             idx2s[w % k] = idx2
             dma2(w, idx2).start()
 
         # issue gather1 for walker t
         @pl.when(t < b)
         def _():
-            idx = state[t, 0] + _slot(u_ref[0, t, 0], state[t, 1])
+            idx = state[2 * t] + _slot(u_ref[0, 0, 3 * t],
+                                       state[2 * t + 1])
             idx1s[t % k] = idx
             dma1(t, idx).start()
         return c
@@ -171,25 +188,25 @@ def pallas_walks_from_fused_tables(tables, nodeset: jnp.ndarray,
     # uniforms drawn at the CALLER's batch size (bit-identity with the XLA
     # walker under the same key); pad walkers consume u=0 deterministically
     uniforms = jnp.zeros((n_hops, b, 3), jnp.float32).at[:, :b0].set(
-        jax.random.uniform(key, (n_hops, b0, 3)))
+        jax.random.uniform(key, (n_hops, b0, 3))).reshape(n_hops, 1, 3 * b)
     org = origin_ext[nodeset].astype(jnp.int32).reshape(-1)  # [2B] SMEM
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_hops,),
         in_specs=[
-            pl.BlockSpec((1, b, 3), lambda h, org: (h, 0, 0),
+            pl.BlockSpec((1, 1, 3 * b), lambda h, org: (h, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # i2c lines (HBM)
             pl.BlockSpec(memory_space=pl.ANY),      # c2i lines (HBM)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.SMEM((b, 2), jnp.int32),           # walker state
+            pltpu.SMEM((2 * b,), jnp.int32),         # walker state
             pltpu.SMEM((K_INFLIGHT,), jnp.int32),    # gather1 record idxs
             pltpu.SMEM((K_INFLIGHT,), jnp.int32),    # gather2 record idxs
-            pltpu.SMEM((K_INFLIGHT, WIN), jnp.int32),  # gather1 windows
-            pltpu.SMEM((K_INFLIGHT, WIN), jnp.int32),  # gather2 windows
+            pltpu.SMEM((K_INFLIGHT * WIN,), jnp.int32),  # gather1 windows
+            pltpu.SMEM((K_INFLIGHT * WIN,), jnp.int32),  # gather2 windows
             pltpu.SMEM((b,), jnp.int32),             # hop trace row
             pltpu.SemaphoreType.DMA((K_INFLIGHT,)),
             pltpu.SemaphoreType.DMA((K_INFLIGHT,)),

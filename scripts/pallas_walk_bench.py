@@ -37,6 +37,12 @@ def main() -> None:
     import numpy as np
     from jax import lax
 
+    from gcn_song_embeddings_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+
     from gcn_song_embeddings_tpu.data.device import DeviceGraph
     from gcn_song_embeddings_tpu.ops.pallas_walk import (
         pallas_walks_from_fused_tables,
@@ -100,10 +106,13 @@ def main() -> None:
 
     nodeset = jnp.asarray(rng.integers(0, 100_000, B), jnp.int32)
 
-    # hardware bit-identity at the timing shape (jitted: 2 dispatches)
+    # hardware bit-identity at the timing shape (jitted: 2 dispatches).
+    # Pallas arm FIRST: its compile is the one that can fail, so fail
+    # fast instead of paying the XLA arm's compile before finding out.
     key = jax.random.PRNGKey(99)
-    ref = np.asarray(xla_walk(key, nodeset))
     got = np.asarray(pallas_walk(key, nodeset))
+    log("pallas walker compiled + ran")
+    ref = np.asarray(xla_walk(key, nodeset))
     bit_identical = bool((ref == got).all())
     log(f"hardware bit-identity (B={B}, H={H}): {bit_identical}")
 

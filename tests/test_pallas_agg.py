@@ -9,6 +9,7 @@ import numpy as np
 
 from gcn_song_embeddings_tpu.ops.pallas_agg import (
     conv_aggregate,
+    dma_gather_aggregate,
     fused_gather_aggregate,
 )
 
@@ -26,6 +27,23 @@ def test_pallas_matches_xla():
     h, ids, w, Wq, bq = _problem()
     ref = conv_aggregate(h, ids, w, Wq, bq, use_pallas=False)
     got = fused_gather_aggregate(h, ids, w, Wq, bq, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_dma_pallas_matches_xla():
+    h, ids, w, Wq, bq = _problem(b=600)  # > TILE_B_DMA, forces 3-tile grid
+    ref = conv_aggregate(h, ids, w, Wq, bq, use_pallas=False)
+    got = dma_gather_aggregate(h, ids, w, Wq, bq, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_dma_pallas_unpadded_and_zero_weights():
+    h, ids, w, Wq, bq = _problem(b=130)  # forces padding to TILE_B_DMA
+    w = w.at[3].set(0.0)
+    ref = conv_aggregate(h, ids, w, Wq, bq, use_pallas=False)
+    got = conv_aggregate(h, ids, w, Wq, bq, use_pallas=True, mode="dma",
+                         interpret=True)
+    assert got.shape == (130, 128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
