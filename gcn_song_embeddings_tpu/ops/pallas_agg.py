@@ -15,12 +15,22 @@ that the Mosaic pipeliner double-buffers against the tile matmul.  Both
 paths are numerically identical (tests/test_pallas_agg.py, verified on
 hardware to 5e-7).
 
-Measured on TPU v5e (B=4096, T=3, Din=H=512, N=100k, on-device scan of 50
-ops): XLA path 0.58 ms/op (11.1 TFLOP/s f32), this kernel 0.95 ms/op
-(6.8 TFLOP/s) — XLA's hardware gather engine beats per-row pipeline blocks
-for scattered single-row access, so `conv_aggregate` defaults to the XLA
-path; the kernel is kept as the fused-path reference (and the building
-block for variants where fusion wins, e.g. larger per-node fanouts).
+Measured on TPU v5e (scripts/pallas_agg_bench.py, round-3 3-arm A/B at
+T=3, Din=H=512, N=100k, in-jit 50-rep difference timing; all arms agree
+on-chip to ~1e-6):
+
+    B=4096:  XLA 0.225 ms (111.8 GB/s effective gather)
+             stream kernel 0.575 ms | DMA kernel 0.513 ms (49.1 GB/s)
+    B=16384: XLA 1.005 ms (100.2 GB/s)
+             stream kernel 2.251 ms | DMA kernel 2.019 ms (49.9 GB/s)
+
+The explicit double-buffered row-DMA pipeline (`dma_gather_aggregate`,
+the pallas_walk template applied to this op) beats the stream kernel by
+~11% but the hardware gather engine XLA uses still wins 2x — per-row
+DMA descriptors sustain ~50 GB/s on scattered 2 KB rows (42 ns/row)
+against the gather engine's ~100+ GB/s — so `conv_aggregate` defaults
+to the XLA path with the question closed by measurement on all three
+paths (RESULTS.md "aggregation gather 3-arm A/B").
 """
 
 from __future__ import annotations
