@@ -234,6 +234,12 @@ def main() -> None:
         if cached is not None:
             log(f"baseline drift vs cached: {base_per_batch / cached:.3f}x "
                 f"({base_per_batch * 1e3:.2f} vs {cached * 1e3:.2f} ms)")
+            # vs_baseline uses the FASTEST torch measurement seen on this
+            # host: co-tenant load on the small CPU host can slow the
+            # baseline 2-3x between rounds, which would inflate the
+            # speedup; giving the baseline its best-ever time keeps the
+            # ratio conservative and round-over-round comparable.
+            base_per_batch = min(base_per_batch, cached)
         with open(BASELINE_PATH, "w") as fh:
             json.dump({"torch_cpu_s_per_batch": base_per_batch,
                        "measured_unix": time.time(),
