@@ -83,6 +83,11 @@ class TrainConfig:
     checkpoint_every_batches: int = 500   # reference wrote EVERY batch
     # (pinsage_training.py:248-249) — capability kept, cadence fixed.
     dtype: str = "float32"       # compute dtype for the conv stack
+    fullgraph_forward: str = "auto"
+    # "auto" switches the train-step forward to a full-catalog conv sweep
+    # (models/pinsage.fullgraph_embeddings) when the triple batch's
+    # expanded frontier would gather more feature rows than the whole
+    # catalog sweep costs (large B / small N); "on"/"off" force it.
 
 
 @dataclass(frozen=True)

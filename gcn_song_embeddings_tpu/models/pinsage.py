@@ -191,6 +191,71 @@ def forward_with_gather(params: PinSageParams, gather_features,
     return head_apply(params, h)
 
 
+def fullgraph_embeddings(params: PinSageParams, features: jnp.ndarray,
+                         nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
+                         n_layers: int, T: int,
+                         block_rows: int = 131_072) -> jnp.ndarray:
+    """Pre-head activations for ALL items via dense per-layer sweeps.
+
+    The precomputed top-T neighborhoods are batch-independent (reference
+    relevant_nodes_per_layer_precomp slices the same cache at every
+    level, pinsage_model.py:156-168), so layer l's activation for node v
+    is the same whether v is reached through a frontier or computed in a
+    full-catalog sweep.  Cost per layer is ONE [N, T]-row gather +
+    batched matmuls — N*(T+1) feature-row touches per layer versus the
+    frontier expansion's 3B*(T+1)^L blowup, so this wins whenever the
+    nodeset's expanded frontier exceeds the catalog (B=4096 at T=3, L=2:
+    196k gathered rows vs N=20k).  Layer order matches
+    forward_with_gather: layers[0] consumes raw features.
+    """
+    nb_w = nbhd_weights[:, :T]
+    nb_n = nbhd_nodes[:, :T].astype(jnp.int32)
+    n = features.shape[0]
+    h = features
+    for l in range(n_layers):
+        p = params.layers[l]
+        if n <= block_rows:
+            h_nb = h[nb_n.reshape(-1)].reshape(n, T, h.shape[1])
+            h = conv_apply(p, h, h_nb, nb_w)
+        else:
+            # million-scale sweep: one [N, T, D] intermediate would be
+            # several GB, so run the layer as a lax.map over row blocks
+            # (gathers still hit the full resident h; same math)
+            nblk = -(-n // block_rows)
+            offs = jnp.arange(block_rows, dtype=jnp.int32)
+
+            def blk(i, h=h, p=p):
+                ids = jnp.minimum(i * block_rows + offs, n - 1)
+                h_nb = h[nb_n[ids].reshape(-1)].reshape(
+                    block_rows, T, h.shape[1])
+                return conv_apply(p, h[ids], h_nb, nb_w[ids])
+
+            h = jax.lax.map(blk, jnp.arange(nblk, dtype=jnp.int32)
+                            ).reshape(nblk * block_rows, -1)[:n]
+    return h
+
+
+@partial(jax.jit, static_argnames=("n_layers", "T"))
+def pinsage_forward_fullgraph(params: PinSageParams, features: jnp.ndarray,
+                              nbhd_weights: jnp.ndarray,
+                              nbhd_nodes: jnp.ndarray, nodeset: jnp.ndarray,
+                              n_layers: int, T: int) -> jnp.ndarray:
+    """pinsage_forward computed via a full-catalog sweep (same math;
+    faster once `nodeset` is a sizable fraction of the catalog)."""
+    h = fullgraph_embeddings(params, features, nbhd_weights, nbhd_nodes,
+                             n_layers, T)
+    return head_apply(params, h[nodeset.astype(jnp.int32)])
+
+
+def fullgraph_wins(batch_rows: int, n_items: int, n_layers: int,
+                   T: int) -> bool:
+    """Row-gather cost model behind `train.fullgraph_forward='auto'`:
+    frontier rows 3B*sum_l (T+1)^l  vs  full-graph rows N*T per layer."""
+    frontier_rows = sum(batch_rows * (T + 1) ** l
+                        for l in range(1, n_layers + 1))
+    return frontier_rows > n_items * T * n_layers
+
+
 @partial(jax.jit, static_argnames=("n_layers", "T"))
 def pinsage_forward(params: PinSageParams, features: jnp.ndarray,
                     nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
@@ -233,16 +298,35 @@ def _embed_blocks(params: PinSageParams, features: jnp.ndarray,
     return outs.reshape(n_blocks * batch_size, -1)
 
 
+@partial(jax.jit, static_argnames=("n_layers", "T"))
+def _embed_all_fullgraph(params: PinSageParams, features: jnp.ndarray,
+                         nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
+                         n_layers: int, T: int) -> jnp.ndarray:
+    h = fullgraph_embeddings(params, features, nbhd_weights, nbhd_nodes,
+                             n_layers, T)
+    return head_apply(params, h)
+
+
 def embed_all(params: PinSageParams, features: jnp.ndarray,
               nbhd_weights: jnp.ndarray, nbhd_nodes: jnp.ndarray,
               n_items: int, n_layers: int, T: int,
-              batch_size: int = 1024, blocks_per_call: int = 32
-              ) -> jnp.ndarray:
+              batch_size: int = 1024, blocks_per_call: int = 32,
+              strategy: str = "fullgraph") -> jnp.ndarray:
     """Embed every item (reference PinSage.embed + save_embeddings,
     pinsage_training.py:258-327) -> [n_items, out_dim].
 
-    Each dispatch scans `blocks_per_call` blocks of `batch_size` nodes —
-    at million-track scale per-dispatch latency otherwise dominates."""
+    strategy="fullgraph" (default) computes the conv stack once over the
+    whole catalog — N*(T+1) row touches per layer instead of the blocked
+    frontier expansion's N*(T+1)^L, strictly cheaper for an all-items
+    sweep and one dispatch instead of N/(batch*blocks).
+    strategy="blocks" keeps the scanned frontier path (the per-nodeset
+    building block, also the fallback if [N, out_dim] intermediates ever
+    exceed HBM): each dispatch scans `blocks_per_call` blocks of
+    `batch_size` nodes — at million-track scale per-dispatch latency
+    otherwise dominates."""
+    if strategy == "fullgraph":
+        return _embed_all_fullgraph(params, features, nbhd_weights,
+                                    nbhd_nodes, n_layers, T)
     import numpy as np
 
     from gcn_song_embeddings_tpu.utils.pipeline import lagged

@@ -34,6 +34,9 @@ from gcn_song_embeddings_tpu.models.pinsage import (
     PinSageParams,
     embed_all,
     forward_with_gather,
+    fullgraph_embeddings,
+    fullgraph_wins,
+    head_apply,
     init_pinsage,
     pack_nbhds,
     packed_nbhd_gather,
@@ -97,6 +100,14 @@ def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
     # kernel-latency-bound; see models.pinsage.pack_nbhds).
     packed = pack_nbhds(nbhd_w, nbhd_n, mcfg.T)
     gather_nbhds = packed_nbhd_gather(packed, mcfg.T)
+    # Large-batch strategy: computing the conv stack over the FULL catalog
+    # touches N*T rows/layer, vs the frontier expansion's 3B*(T+1)^l —
+    # cheaper once the triple batch's frontier exceeds the catalog
+    # (models/pinsage.fullgraph_wins); identical math either way.
+    use_fullgraph = (tcfg.fullgraph_forward == "on"
+                     or (tcfg.fullgraph_forward == "auto"
+                         and fullgraph_wins(3 * tcfg.batch_size, n_items,
+                                            mcfg.n_layers, mcfg.T)))
 
     def batch_step(carry, key):
         params, opt_state = carry
@@ -110,9 +121,15 @@ def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
         def loss_fn(p):
             pc = jax.tree.map(lambda x: x.astype(compute_dtype), p)
             nodes = jnp.concatenate([batch[:, 0], batch[:, 1], batch[:, 2]])
-            emb = forward_with_gather(
-                pc, lambda ids: features[ids], gather_nbhds, nodes,
-                mcfg.n_layers, mcfg.T).astype(jnp.float32)
+            if use_fullgraph:
+                h_all = fullgraph_embeddings(
+                    pc, features, nbhd_w.astype(compute_dtype), nbhd_n,
+                    mcfg.n_layers, mcfg.T)
+                emb = head_apply(pc, h_all[nodes]).astype(jnp.float32)
+            else:
+                emb = forward_with_gather(
+                    pc, lambda ids: features[ids], gather_nbhds, nodes,
+                    mcfg.n_layers, mcfg.T).astype(jnp.float32)
             h_q, h_pos, h_neg = jnp.split(emb, 3, axis=0)
             loss = max_margin_loss(h_q, h_pos, h_neg, tcfg.margin)
             return loss, h_q

@@ -89,6 +89,49 @@ def test_full_forward_matches_oracle(n_layers):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.parametrize("n_layers", [1, 2, 3])
+def test_fullgraph_forward_matches_frontier(n_layers):
+    """The full-catalog sweep (large-batch strategy) must equal the
+    frontier-expansion forward on every node: the precomputed
+    neighborhoods are batch-independent, so both compute the same
+    function (models/pinsage.fullgraph_embeddings)."""
+    from gcn_song_embeddings_tpu.models.pinsage import (
+        embed_all,
+        pinsage_forward_fullgraph,
+    )
+
+    rng = np.random.default_rng(4)
+    n, din, hid, dout, t = 300, 24, 20, 12, 3
+    feats = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
+    nb_w, nb_n = _random_nbhds(rng, n, 8)
+    params = init_pinsage(jax.random.PRNGKey(1), n_layers, din, hid, dout)
+    nodeset = jnp.asarray(rng.integers(0, n, 64).astype(np.int32))
+
+    ref = pinsage_forward(params, feats, jnp.asarray(nb_w),
+                          jnp.asarray(nb_n), nodeset, n_layers, t)
+    got = pinsage_forward_fullgraph(params, feats, jnp.asarray(nb_w),
+                                    jnp.asarray(nb_n), nodeset, n_layers, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # embed_all's two strategies agree too
+    a = embed_all(params, feats, jnp.asarray(nb_w), jnp.asarray(nb_n), n,
+                  n_layers, t, strategy="fullgraph")
+    b = embed_all(params, feats, jnp.asarray(nb_w), jnp.asarray(nb_n), n,
+                  n_layers, t, batch_size=128, strategy="blocks")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fullgraph_wins_cost_model():
+    from gcn_song_embeddings_tpu.models.pinsage import fullgraph_wins
+
+    # reference config: 3*128 triple rows on 20k items -> frontier cheaper
+    assert not fullgraph_wins(3 * 128, 20_000, 2, 3)
+    # large batch: 3*4096 rows on 20k items -> full catalog cheaper
+    assert fullgraph_wins(3 * 4096, 20_000, 2, 3)
+
+
 def test_forward_duplicate_nodes_in_batch():
     """Duplicated batch entries must embed identically (the reference's
     dedup makes them one node; our recursion recomputes them)."""

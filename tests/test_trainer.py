@@ -107,6 +107,29 @@ def test_deterministic_training(graph, positives, tmp_path):
                                np.asarray(tr2.params.G1_w), atol=1e-7)
 
 
+def test_fullgraph_forward_training_equivalence(graph, positives, tmp_path):
+    """train.fullgraph_forward='on' (full-catalog conv sweep per step)
+    must produce the same training trajectory as the frontier forward —
+    identical math, different gather strategy (models/pinsage.
+    fullgraph_embeddings)."""
+    # few steps: the two forwards reassociate float reductions
+    # differently, so long trajectories drift; over 3 steps params and
+    # embeddings must agree tightly
+    kw = {"train.epochs": 1, "train.batches_per_epoch": 3,
+          "train.lr": 1e-3, "train.margin": 0.1}
+    tr_a = _mk_trainer(graph, positives, tmp_path / "a", run_name="fg",
+                       **{**kw, "train.fullgraph_forward": "off"})
+    tr_a.train()
+    tr_b = _mk_trainer(graph, positives, tmp_path / "b", run_name="fg",
+                       **{**kw, "train.fullgraph_forward": "on"})
+    tr_b.train()
+    np.testing.assert_allclose(np.asarray(tr_a.params.G1_w),
+                               np.asarray(tr_b.params.G1_w),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(tr_a.embed(), tr_b.embed(),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_bfloat16_training(graph, positives, tmp_path):
     """Mixed-precision path: finite losses, still learns, f32 master
     weights."""
