@@ -66,9 +66,16 @@ def main() -> None:
         "--set", "train.margin=0.1",
         "--set", "walk.batch_walkers=8192",
     ]
-    for run_name, extra in (
-            ("pinsage_hard", []),
-            ("pinsage_hard_hn", ["--set", "train.hard_negatives=true"])):
+    # pinsage_hard_tuned = the hard-grid winner's schedule
+    # (results/grid_search_hard.json: 30 epochs, margin 1e-5, lr 1e-3,
+    # easy negatives, 2 layers) — the roster's headline PinSage row
+    run_list = (
+        ("pinsage_hard", []),
+        ("pinsage_hard_hn", ["--set", "train.hard_negatives=true"]),
+        ("pinsage_hard_tuned", ["--set", "train.epochs=30",
+                                "--set", "train.margin=1e-05"]),
+    )
+    for run_name, extra in run_list:
         if os.path.isfile(os.path.join(runs, run_name, "emb.npy")):
             log(f"reusing trained run {run_name}")
             continue
@@ -80,7 +87,7 @@ def main() -> None:
     log("evaluating full roster ...")
     cli.main(["eval", "--dataset", ds, "--run-dir", runs,
               "--eval-dir", eval_dir,
-              "--pinsage-runs", "pinsage_hard", "pinsage_hard_hn"])
+              "--pinsage-runs"] + [r for r, _ in run_list])
 
     os.makedirs(os.path.join(REPO, "results"), exist_ok=True)
     for src, dst in (("results_accuracy.csv",
