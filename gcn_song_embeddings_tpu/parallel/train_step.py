@@ -33,7 +33,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gcn_song_embeddings_tpu.config import RunConfig
 from gcn_song_embeddings_tpu.models.pinsage import (
+    conv_apply,
     forward_with_gather,
+    fullgraph_wins,
+    head_apply,
     init_pinsage,
     pack_nbhds_np,
     unpack_nbhd_rows,
@@ -170,6 +173,14 @@ class ShardedTrainer:
         hn_width = self.hn_width
         gather_features, gather_nbhds = self._gathers()
         gather_rows = self._gather_fn()
+        # per-device cost model (models/pinsage.fullgraph_wins): each
+        # graph-shard sweeps n_pad/g catalog rows, each device's frontier
+        # expands 3*b_local triple rows
+        rows_local = self.features.shape[0] // mesh.shape["graph"]
+        use_fullgraph = (tcfg.fullgraph_forward == "on"
+                         or (tcfg.fullgraph_forward == "auto"
+                             and fullgraph_wins(3 * b_local, rows_local,
+                                                mcfg.n_layers, mcfg.T)))
 
         def device_step(carry, key, feats, packed, nb_n, positives):
             params, opt_state = carry
@@ -211,10 +222,27 @@ class ShardedTrainer:
             def loss_fn(p):
                 nodes = jnp.concatenate(
                     [batch[:, 0], batch[:, 1], batch[:, 2]])
-                emb = forward_with_gather(
-                    p, lambda ids: gather_features(ids, feats),
-                    lambda ids: gather_nbhds(ids, packed),
-                    nodes, mcfg.n_layers, mcfg.T)
+                if use_fullgraph:
+                    # full-catalog sweep, row-sharded: each graph-shard
+                    # convolves ITS rows per layer, fetching neighbor
+                    # activations with the same collective row-gather the
+                    # frontier path uses (halo exchange); the batch then
+                    # indexes the final sharded activations.  Collective
+                    # volume is N*T rows/layer across the graph axis,
+                    # independent of B (see train.fullgraph_forward).
+                    local_w, local_n = unpack_nbhd_rows(packed, mcfg.T)
+                    h = feats
+                    for l in range(mcfg.n_layers):
+                        h_nb = gather_rows(
+                            h, local_n.reshape(-1), "graph").reshape(
+                                local_n.shape[0], mcfg.T, h.shape[1])
+                        h = conv_apply(p.layers[l], h, h_nb, local_w)
+                    emb = head_apply(p, gather_rows(h, nodes, "graph"))
+                else:
+                    emb = forward_with_gather(
+                        p, lambda ids: gather_features(ids, feats),
+                        lambda ids: gather_nbhds(ids, packed),
+                        nodes, mcfg.n_layers, mcfg.T)
                 h_q, h_pos, h_neg = jnp.split(emb, 3, axis=0)
                 # local mean scaled so the psum'd gradient equals the
                 # global-batch gradient

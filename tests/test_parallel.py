@@ -129,6 +129,32 @@ def test_multichip_precompute_matches_distribution(device_graph):
     np.testing.assert_allclose(w1.mean(), w8.mean(), rtol=0.1)
 
 
+def test_sharded_fullgraph_matches_frontier():
+    """train.fullgraph_forward='on' in the SHARDED trainer (row-sharded
+    per-layer catalog sweep with collective neighbor gathers) must train
+    identically to the frontier/collective path — same RNG tree, same
+    math, different gather strategy."""
+    feat, nb_w, nb_n, pos = _toy(seed=11)
+    overrides = {
+        "model.in_dim": 32, "model.hidden_dim": 32, "model.out_dim": 16,
+        "train.batch_size": 64, "train.lr": 1e-3, "train.margin": 0.1}
+    mesh = make_mesh(n_dp=4, n_graph=2)
+    cfg_a = config_with_overrides(RunConfig(), {
+        **overrides, "train.fullgraph_forward": "off"})
+    tr_a = ShardedTrainer(mesh, cfg_a, feat.shape[0], feat, (nb_w, nb_n),
+                          pos)
+    losses_a = np.asarray(tr_a.train_chunk(3))
+    cfg_b = config_with_overrides(RunConfig(), {
+        **overrides, "train.fullgraph_forward": "on"})
+    tr_b = ShardedTrainer(mesh, cfg_b, feat.shape[0], feat, (nb_w, nb_n),
+                          pos)
+    losses_b = np.asarray(tr_b.train_chunk(3))
+    np.testing.assert_allclose(losses_b, losses_a, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(tr_b.embed(batch_size=64),
+                               tr_a.embed(batch_size=64),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_sharded_trainer_checkpoint_roundtrip(tmp_path):
     mesh = make_mesh(n_dp=4, n_graph=2)
     feat, nb_w, nb_n, pos = _toy(seed=9)
