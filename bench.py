@@ -221,10 +221,18 @@ def main() -> None:
     # when a cache was first written; the cached value is kept for drift
     # visibility.  Set GCN_TPU_BENCH_CACHED=1 to reuse the cache instead
     # (round-over-round comparability runs).
+    bench_config = {"batch": BATCH, "n_layers": N_LAYERS, "T": T,
+                    "hidden": HIDDEN, "out": OUT, "feat_dim": FEAT_DIM,
+                    "n_tracks": N_TRACKS}
     cached = None
     if os.path.isfile(BASELINE_PATH):
         with open(BASELINE_PATH) as fh:
-            cached = json.load(fh).get("torch_cpu_s_per_batch")
+            d = json.load(fh)
+        if d.get("config") == bench_config:
+            cached = d.get("torch_cpu_s_per_batch")
+        else:
+            log("cached baseline is for a DIFFERENT bench config — "
+                "ignoring it")
     if cached is not None and os.environ.get("GCN_TPU_BENCH_CACHED"):
         base_per_batch = cached
         log(f"cached torch baseline: {base_per_batch * 1e3:.2f} ms/batch")
@@ -242,12 +250,11 @@ def main() -> None:
             base_per_batch = min(base_per_batch, cached)
         with open(BASELINE_PATH, "w") as fh:
             json.dump({"torch_cpu_s_per_batch": base_per_batch,
+                       "note": "fastest torch-CPU per-batch measured on "
+                               "this host for this config (sticky min)",
                        "measured_unix": time.time(),
                        "loadavg_1m": os.getloadavg()[0],
-                       "config": {"batch": BATCH, "n_layers": N_LAYERS,
-                                  "T": T, "hidden": HIDDEN, "out": OUT,
-                                  "feat_dim": FEAT_DIM,
-                                  "n_tracks": N_TRACKS}}, fh, indent=2)
+                       "config": bench_config}, fh, indent=2)
 
     per_batch, compile_s = measure_tpu(features, nb_w, nb_n, positives)
     value = eps / per_batch

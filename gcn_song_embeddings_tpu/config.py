@@ -88,8 +88,9 @@ class TrainConfig:
     # (models/pinsage.fullgraph_embeddings) when the triple batch's
     # expanded frontier would gather more feature rows than the whole
     # catalog sweep costs (large B / small N); "on"/"off" force it.
-    # Single-device trainer only: the sharded trainer keeps the
-    # frontier/collective-gather path (its tables are row-sharded).
+    # Applies to BOTH trainers: the sharded trainer's full-graph form
+    # sweeps each graph-shard's rows with collective neighbor gathers
+    # (parallel/train_step.py).
 
 
 @dataclass(frozen=True)

@@ -249,11 +249,17 @@ def pinsage_forward_fullgraph(params: PinSageParams, features: jnp.ndarray,
 
 def fullgraph_wins(batch_rows: int, n_items: int, n_layers: int,
                    T: int) -> bool:
-    """Row-gather cost model behind `train.fullgraph_forward='auto'`:
-    frontier rows 3B*sum_l (T+1)^l  vs  full-graph rows N*T per layer."""
-    frontier_rows = sum(batch_rows * (T + 1) ** l
-                        for l in range(1, n_layers + 1))
-    return frontier_rows > n_items * T * n_layers
+    """Feature-row cost model behind `train.fullgraph_forward='auto'`.
+
+    The frontier forward gathers feature rows ONCE, for the deepest
+    frontier: batch_rows*(T+1)^L (the per-level neighborhood lookups are
+    cheap 2T-int32 packed gathers, not feature rows).  The full-graph
+    sweep touches N*(T+1) rows per layer (T gathered + 1 resident self
+    read).  Heuristic row counts — the decision matches the measured
+    winner at every A/B'd batch size (RESULTS.md "full-graph forward
+    strategy": B=128/1024 frontier, B=4096 full-graph)."""
+    frontier_rows = batch_rows * (T + 1) ** n_layers
+    return frontier_rows > n_items * (T + 1) * n_layers
 
 
 @partial(jax.jit, static_argnames=("n_layers", "T"))
@@ -325,8 +331,10 @@ def embed_all(params: PinSageParams, features: jnp.ndarray,
     `batch_size` nodes — at million-track scale per-dispatch latency
     otherwise dominates."""
     if strategy == "fullgraph":
+        # slice [:n_items]: callers may pass row-padded tables
+        # (parallel/train_step.py pads rows to the graph-axis multiple)
         return _embed_all_fullgraph(params, features, nbhd_weights,
-                                    nbhd_nodes, n_layers, T)
+                                    nbhd_nodes, n_layers, T)[:n_items]
     import numpy as np
 
     from gcn_song_embeddings_tpu.utils.pipeline import lagged

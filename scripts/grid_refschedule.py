@@ -48,8 +48,18 @@ def main() -> None:
     print("devices:", jax.devices(), file=sys.stderr, flush=True)
     work = args.work_dir or tempfile.mkdtemp(prefix="grid_ref_")
     ds_path = os.path.join(work, "ds")
-    if not all(os.path.isfile(os.path.join(ds_path, f)) for f in
-               ("graph.json", "positives.json", "features.npy")):
+    marker = os.path.join(ds_path, "dataset_kind.txt")
+    complete = all(os.path.isfile(os.path.join(ds_path, f)) for f in
+                   ("graph.json", "positives.json", "features.npy"))
+    if complete:
+        prev = (open(marker).read().strip()
+                if os.path.isfile(marker) else "uniform")
+        if prev != args.dataset_kind:
+            raise SystemExit(
+                f"work dir {ds_path} holds a {prev!r} dataset but "
+                f"--dataset-kind is {args.dataset_kind!r}; use a "
+                f"different --work-dir (refusing to mislabel results)")
+    if not complete:
         if args.dataset_kind == "hard":
             make_hard_dataset(ds_path, n_tracks=20_000,
                               n_collections=4_000, n_positives=60_000,
@@ -60,6 +70,8 @@ def main() -> None:
                                    tracks_per_collection=30,
                                    n_positives=60_000, feature_dim=512,
                                    seed=0)
+        with open(marker, "w") as f:
+            f.write(args.dataset_kind)
     graph = SongGraph(ds_path,
                       features_file=os.path.join(ds_path, "features.npy"))
     graph.nbhds_path = os.path.join(ds_path, "neighborhoods.npz")
