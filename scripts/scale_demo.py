@@ -75,7 +75,16 @@ def main() -> None:
              "positives.json", "features.npy"))
         if complete:
             # reuse only a COMPLETE dataset (a crashed generation leaves
-            # partial files); scale args are ignored on reuse
+            # partial files); scale args are ignored on reuse.  Refuse a
+            # kind mismatch (uniform vs hard) instead of mislabeling.
+            marker = os.path.join(ds_path, "dataset_kind.txt")
+            prev = (open(marker).read().strip()
+                    if os.path.isfile(marker) else "uniform")
+            want = "hard" if args.hard else "uniform"
+            if prev != want:
+                raise SystemExit(
+                    f"work dir {ds_path} holds a {prev!r} dataset but "
+                    f"this run wants {want!r}; use another --work-dir")
             log(f"reusing existing dataset in {ds_path}")
             ds = ds_path
         elif args.hard:
@@ -102,6 +111,8 @@ def main() -> None:
                 n_collections=args.collections, n_clusters=args.clusters,
                 tracks_per_collection=30, n_positives=args.positives,
                 feature_dim=args.feature_dim, seed=0)
+    with open(os.path.join(ds_path, "dataset_kind.txt"), "w") as f:
+        f.write("hard" if args.hard else "uniform")
     with timer.phase("load_graph"):
         g = SongGraph(ds, features_file=os.path.join(ds, "features.npy"))
         dg = DeviceGraph.from_graph(g)
