@@ -1,0 +1,251 @@
+"""Cross-framework forward oracles for the audio nets (VERDICT r3 item 2).
+
+Every other audio-stack test validates against structures this repo
+controls (its own golden vectors, its own reconstructed manifests).  Here
+each reference architecture is defined IN ITS NATIVE FRAMEWORK from the
+published spec — torch for torchvggish's VGG and torchopenl3's audio
+model, TensorFlow ops for the musicnn MTT graph (the nets the reference
+consumes in generate_node_features.py:209-271) — random-initialized
+(including random BN running stats), exported exactly as a real
+checkpoint would be (state_dict / name->tensor variable dict), routed
+through this repo's converters, and the JAX forward is asserted equal to
+the native-framework forward on a shared input.  That is executable,
+framework-independent evidence that the architectures (layer order,
+padding conventions, pooling placement, flatten orderings, BN semantics)
+are correct — the last offline-closable slice of pretrained parity.
+(Running the actual pretrained weights remains network-capped: the real
+checkpoints are unfetchable here.)
+"""
+
+import numpy as np
+import pytest
+
+from gcn_song_embeddings_tpu.models import audio_embedders as ae
+
+torch = pytest.importorskip("torch")
+
+
+def _rng_bn(rng, mod):
+    """Randomize a torch BN layer's affine params AND running stats so the
+    oracle actually exercises mean/var routing (all-zeros/ones would pass
+    even if mean and beta were swapped)."""
+    c = mod.weight.shape[0]
+    with torch.no_grad():
+        mod.weight.copy_(torch.from_numpy(
+            rng.uniform(0.5, 1.5, c).astype(np.float32)))
+        mod.bias.copy_(torch.from_numpy(
+            rng.normal(0, 0.1, c).astype(np.float32)))
+        mod.running_mean.copy_(torch.from_numpy(
+            rng.normal(0, 0.3, c).astype(np.float32)))
+        mod.running_var.copy_(torch.from_numpy(
+            rng.uniform(0.5, 1.5, c).astype(np.float32)))
+
+
+# ---------------------------------------------------------------- VGGish
+
+class _TorchVGGish(torch.nn.Module):
+    """The torchvggish VGG net (harritaylor/torchvggish vggish.py; AudioSet
+    VGGish): features Sequential with convs at indices 0,3,6,8,11,13
+    (matching tests/golden/manifest_torchvggish.json), flatten in (H,W,C)
+    order via the double transpose, 4096-4096-128 ReLU embeddings MLP."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        layers, cin = [], 1
+        for v in (64, "M", 128, "M", 256, 256, "M", 512, 512, "M"):
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers += [nn.Conv2d(cin, v, 3, padding=1), nn.ReLU(True)]
+                cin = v
+        self.features = nn.Sequential(*layers)
+        self.embeddings = nn.Sequential(
+            nn.Linear(512 * 4 * 6, 4096), nn.ReLU(True),
+            nn.Linear(4096, 4096), nn.ReLU(True),
+            nn.Linear(4096, 128), nn.ReLU(True))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = torch.transpose(x, 1, 3)
+        x = torch.transpose(x, 1, 2)
+        x = x.contiguous().view(x.size(0), -1)
+        return self.embeddings(x)
+
+
+def test_vggish_matches_torch_oracle():
+    torch.manual_seed(0)
+    net = _TorchVGGish().eval()
+    params = ae.convert_vggish(net.state_dict())
+
+    rng = np.random.default_rng(1)
+    patches = rng.normal(0, 1, (3, 96, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(patches)[:, None]).numpy()
+    ours = np.asarray(ae.vggish_forward(params, patches))
+    assert ref.shape == ours.shape == (3, 128)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------- OpenL3
+
+class _TorchOpenL3Audio(torch.nn.Module):
+    """torchopenl3==1.0.1 audio model (mel128/music/512): keras-layer
+    auto-names (batch_normalization_1..8, conv2d_1..7,
+    audio_embedding_layer — see the torchopenl3 manifest), conv->BN->ReLU
+    blocks with 2x2 pools, the final conv going straight to the
+    (16,24) max-pool with no BN/activation.  Keras BN eps = 1e-3."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.batch_normalization_1 = nn.BatchNorm2d(1, eps=1e-3)
+        chans = (1, 64, 64, 128, 128, 256, 256, 512)
+        for i in range(1, 8):
+            setattr(self, f"conv2d_{i}",
+                    nn.Conv2d(chans[i - 1], chans[i], 3, padding=1))
+            setattr(self, f"batch_normalization_{i + 1}",
+                    nn.BatchNorm2d(chans[i], eps=1e-3))
+        self.audio_embedding_layer = nn.Conv2d(512, 512, 3, padding=1)
+
+    def forward(self, x):
+        relu, pool = torch.nn.functional.relu, torch.nn.functional.max_pool2d
+        x = self.batch_normalization_1(x)
+        ci = 1
+        for bi in range(4):
+            x = relu(getattr(self, f"batch_normalization_{ci + 1}")(
+                getattr(self, f"conv2d_{ci}")(x)))
+            ci += 1
+            if bi < 3:
+                x = relu(getattr(self, f"batch_normalization_{ci + 1}")(
+                    getattr(self, f"conv2d_{ci}")(x)))
+                x = pool(x, 2)
+                ci += 1
+            else:
+                x = self.audio_embedding_layer(x)
+        x = pool(x, (16, 24))
+        return x.view(x.size(0), -1)
+
+
+def test_openl3_matches_torch_oracle():
+    torch.manual_seed(0)
+    net = _TorchOpenL3Audio().eval()
+    rng = np.random.default_rng(2)
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            _rng_bn(rng, mod)
+    params = ae.convert_openl3(net.state_dict())
+
+    mel = rng.normal(-30, 15, (2, 128, 199)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(mel)[:, None]).numpy()
+    ours = np.asarray(ae.openl3_forward(params, mel))
+    assert ref.shape == ours.shape == (2, 512)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+# --------------------------------------------------------------- MusicNN
+
+def _tf_musicnn_vars(seed: int = 0) -> dict:
+    """Random checkpoint-shaped variables under the MTT_musicnn names
+    (tests/golden/manifest_mtt_musicnn.json), with non-trivial BN stats."""
+    import json
+    import os
+
+    manifest = json.load(open(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "golden",
+        "manifest_mtt_musicnn.json")))
+    rng = np.random.default_rng(seed)
+    out = {}
+    for name, shape in manifest["entries"]:
+        shape = tuple(shape)
+        leaf = name.rsplit("/", 1)[1]
+        if leaf in ("kernel",):
+            fan_in = int(np.prod(shape[:-1])) or 1
+            arr = rng.normal(0, np.sqrt(2.0 / fan_in), shape)
+        elif leaf in ("gamma",):
+            arr = rng.uniform(0.5, 1.5, shape)
+        elif leaf == "moving_variance":
+            arr = rng.uniform(0.5, 1.5, shape)
+        elif leaf == "moving_mean":
+            arr = rng.normal(0, 0.3, shape)
+        else:                                   # beta / bias
+            arr = rng.normal(0, 0.1, shape)
+        out[name] = arr.astype(np.float32)
+    return out
+
+
+def _tf_musicnn_forward(variables: dict, x_np: np.ndarray):
+    """The MTT_musicnn graph in TensorFlow ops, written from
+    jordipons/musicnn models.py (build_musicnn: frontend 'timbral_temporal'
+    num_filt 1.6, midend 64, backend 200/50): timbral_block = time-padded
+    VALID conv(relu) -> BN -> max-pool over remaining mel; tempo_block =
+    SAME [k,1] conv(relu) over the FULL normalized input -> BN -> max-pool
+    over the whole mel axis; midend = three [7, C]-VALID convs over
+    [B,T,C,1] maps with transposes + residual adds; backend = max/mean
+    temporal pool, channel-interleaved flatten, BN, dense 200 (relu), BN,
+    dense 50.  Returns (max_pool, penultimate, taggram)."""
+    import tensorflow as tf
+
+    v = {k: tf.constant(a) for k, a in variables.items()}
+
+    def bn(x, p):
+        return tf.nn.batch_normalization(
+            x, v[f"{p}/moving_mean"], v[f"{p}/moving_variance"],
+            v[f"{p}/beta"], v[f"{p}/gamma"], 1e-3)
+
+    def conv(x, idx, padding):
+        suf = "" if idx == 0 else f"_{idx}"
+        y = tf.nn.conv2d(x, v[f"conv2d{suf}/kernel"], 1, padding)
+        return tf.nn.relu(y + v[f"conv2d{suf}/bias"])
+
+    x = tf.constant(x_np)[..., None]                     # [B, T, 96, 1]
+    nin = bn(x, "batch_normalization")
+    feats = []
+    for ci in (0, 1):                                    # timbral blocks
+        pad = tf.pad(nin, [[0, 0], [3, 3], [0, 0], [0, 0]])
+        h = bn(conv(pad, ci, "VALID"), f"batch_normalization_{ci + 1}")
+        w = int(h.shape[2])
+        h = tf.nn.max_pool2d(h, [1, w], [1, w], "VALID")
+        feats.append(tf.squeeze(h, 2))
+    for ci in (2, 3, 4):                                 # tempo blocks
+        h = bn(conv(nin, ci, "SAME"), f"batch_normalization_{ci + 1}")
+        h = tf.nn.max_pool2d(h, [1, 96], [1, 96], "VALID")
+        feats.append(tf.squeeze(h, 2))
+    front = tf.expand_dims(tf.concat(feats, 2), 3)       # [B, T, 561, 1]
+
+    def midlayer(inp, ci):
+        pad = tf.pad(inp, [[0, 0], [3, 3], [0, 0], [0, 0]])
+        h = bn(conv(pad, ci, "VALID"), f"batch_normalization_{ci + 1}")
+        return tf.transpose(h, [0, 1, 3, 2])             # [B, T, 64, 1]
+
+    c1 = midlayer(front, 5)
+    c2 = midlayer(c1, 6) + c1
+    c3 = midlayer(c2, 7) + c2
+    route = tf.concat([front, c1, c2, c3], 2)            # [B, T, 753, 1]
+    mx = tf.reduce_max(route, axis=1)                    # [B, 753, 1]
+    mn = tf.reduce_mean(route, axis=1)
+    flat = tf.reshape(tf.concat([mx, mn], 2), [x_np.shape[0], -1])
+    flat = bn(flat, "batch_normalization_9")
+    pen = tf.nn.relu(flat @ v["dense/kernel"] + v["dense/bias"])
+    pen = bn(pen, "batch_normalization_10")
+    taggram = tf.sigmoid(pen @ v["dense_1/kernel"] + v["dense_1/bias"])
+    return (tf.squeeze(mx, 2).numpy(), pen.numpy(), taggram.numpy())
+
+
+def test_musicnn_matches_tf_oracle():
+    tf = pytest.importorskip("tensorflow")  # noqa: F841
+    variables = _tf_musicnn_vars(seed=0)
+    params = ae.convert_musicnn(variables)
+
+    rng = np.random.default_rng(3)
+    patches = rng.normal(0, 1, (2, 187, 96)).astype(np.float32)
+    ref_max, ref_pen, ref_tag = _tf_musicnn_forward(variables, patches)
+
+    ours_max = np.asarray(ae.musicnn_forward(params, patches, "max_pool"))
+    ours_pen = np.asarray(ae.musicnn_forward(params, patches,
+                                             "penultimate"))
+    ours_tag = np.asarray(ae.musicnn_forward(params, patches, "taggram"))
+    np.testing.assert_allclose(ours_max, ref_max, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(ours_pen, ref_pen, rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(ours_tag, ref_tag, rtol=1e-3, atol=1e-4)
