@@ -74,14 +74,23 @@ class TrainConfig:
     hard_negatives: bool = False
     hn_min: int = 10             # hard negative PPR rank range [hn_min, hn_max)
     hn_max: int = 100
+    hn_start_epoch: int = 0      # curriculum: with hard_negatives=True,
+    # epochs before this use easy negatives (warmup), epochs from it on
+    # use the hard band.  0 = hard from the start (reference's static
+    # behavior, pinsage_training.py:135-137).  Motivation: hn helps short
+    # schedules and hurts long ones on the hard benchmark (RESULTS.md).
     exact_batch_sampling: bool = False
     # True reproduces the reference's randperm[:B] (distinct positive rows
     # per batch, pinsage_training.py:53-62) at the cost of an O(n_pos) sort
     # per batch; False samples rows i.i.d. — statistically equivalent for
     # B << n_pos and ~30% faster per train step.
     seed: int = 0
-    checkpoint_every_batches: int = 500   # reference wrote EVERY batch
+    checkpoint_every_batches: int = 2500  # chunk size: batches per device
+    # dispatch AND checkpoint cadence.  The reference wrote EVERY batch
     # (pinsage_training.py:248-249) — capability kept, cadence fixed.
+    # Chunks span epoch boundaries (the LR schedule is step-indexed), so
+    # the default = 5 reference epochs per dispatch; lower it for
+    # tighter fault-tolerance granularity.
     dtype: str = "float32"       # compute dtype for the conv stack
     fullgraph_forward: str = "auto"
     # "auto" switches the train-step forward to a full-catalog conv sweep

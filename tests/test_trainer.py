@@ -144,3 +144,50 @@ def test_bfloat16_training(graph, positives, tmp_path):
     losses = [r["Train Loss"] for r in rows]
     assert all(np.isfinite(losses))
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_hn_curriculum_gate_selects_negatives(graph, positives):
+    """hn_gate=False must reproduce the easy sampler exactly; True the
+    hard band — the per-step mechanism behind train.hn_start_epoch."""
+    key = jax.random.PRNGKey(7)
+    rng = np.random.default_rng(0)
+    nbhd_n = rng.integers(0, graph.n_items,
+                          (graph.n_items, 60)).astype(np.int32)
+    kwargs = dict(positives=jnp.asarray(positives),
+                  nbhd_nodes=jnp.asarray(nbhd_n), batch_size=64,
+                  n_items=graph.n_items, hn_min=5, hn_max=50)
+    easy = np.asarray(sample_batch(key, hard_negatives=False, **kwargs))
+    gated_off = np.asarray(sample_batch(
+        key, hard_negatives=True, hn_gate=jnp.asarray(False), **kwargs))
+    gated_on = np.asarray(sample_batch(
+        key, hard_negatives=True, hn_gate=jnp.asarray(True), **kwargs))
+    np.testing.assert_array_equal(gated_off, easy)
+    for q, p, n in gated_on:
+        assert n in nbhd_n[q, 5:50]
+
+
+def test_hn_curriculum_training_runs(graph, positives, tmp_path):
+    """End-to-end: a curriculum run (easy warmup 1 epoch, hard after)
+    crosses the boundary inside one fused chunk and completes."""
+    tr = _mk_trainer(graph, positives, tmp_path, run_name="hncur",
+                     **{"train.hard_negatives": True, "train.hn_min": 5,
+                        "train.hn_max": 50, "train.hn_start_epoch": 1})
+    tr.train()
+    assert tr.e == 2
+
+
+def test_chunks_span_epochs(graph, positives, tmp_path):
+    """With checkpoint_every_batches > batches_per_epoch the whole run is
+    one dispatch; metrics still carry per-row epoch indices and the LR
+    staircase still decays at the epoch boundary (step-indexed optax
+    schedule, VERDICT r3 item 3)."""
+    tr = _mk_trainer(graph, positives, tmp_path, run_name="fused",
+                     **{"train.checkpoint_every_batches": 2500})
+    tr.train()
+    assert (tr.e, tr.b) == (2, 0)
+    rows = [json.loads(line)
+            for line in open(os.path.join(tr.run_dir, "metrics.jsonl"))]
+    assert len(rows) == 20
+    assert [r["epoch"] for r in rows] == [0] * 10 + [1] * 10
+    np.testing.assert_allclose(rows[-1]["Learning Rate"],
+                               rows[0]["Learning Rate"] * 0.95, rtol=1e-5)
