@@ -47,6 +47,18 @@ class WalkConfig:
     #                              2.2x walk throughput (100M hops/s on
     #                              v5e) for ~2.5x edge-array HBM (bit-
     #                              identical chain; ops/walks.py)
+    colisten_copies: int = 0     # materialize each TRAIN-positive pair as
+    #                              this many 2-member pseudo-collections
+    #                              before the PPR sweep (data/device.py
+    #                              augment_with_colisten).  0 = off
+    #                              (reference behavior: walks see only
+    #                              playlist edges).  Gives PinSage the
+    #                              same co-listen signal the TrackTrackCF
+    #                              baselines factorize directly
+    #                              (reference baselines.py:458-487);
+    #                              copies > 1 upweight the co-listen
+    #                              channel vs playlist edges in the
+    #                              uniform walk.
 
 
 @dataclass(frozen=True)

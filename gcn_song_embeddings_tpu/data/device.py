@@ -58,3 +58,55 @@ class DeviceGraph(NamedTuple):
             c2i_indptr=jnp.asarray(c2i_indptr, dtype=jnp.int32),
             c2i_indices=jnp.asarray(c2i_indices, dtype=jnp.int32),
         )
+
+
+def augment_with_colisten(graph: DeviceGraph, pairs: np.ndarray,
+                          copies: int = 1) -> DeviceGraph:
+    """Materialize co-listen pairs as 2-member pseudo-collections.
+
+    The TrackTrackCF baselines factorize the train-positive co-occurrence
+    matrix directly (reference baselines.py:458-487, to_track_track_matrix
+    :415-426) while PinSage's walks see only playlist edges — a signal
+    asymmetry.  This closes it WITHOUT touching the kernels: each train
+    positive (a, b) becomes one new collection {a, b} appended after the
+    real ones, so the strict item->collection->item two-step walk
+    (SURVEY §7 bipartiteness) now crosses co-listen links too, and the
+    conv aggregates over whatever the PPR top-T selects.  Duplicate pairs
+    (and `copies` > 1) add edge multiplicity, which the uniform
+    neighbor-choice walker converts into proportional transition mass.
+    Self-pairs are dropped (a walk a->{a,a}->a is a no-op).
+    """
+    assert copies >= 1
+    i2c_indptr = np.asarray(graph.i2c_indptr, dtype=np.int64)
+    i2c_indices = np.asarray(graph.i2c_indices, dtype=np.int64)
+    c2i_indptr = np.asarray(graph.c2i_indptr, dtype=np.int64)
+    c2i_indices = np.asarray(graph.c2i_indices, dtype=np.int32)
+
+    pairs = np.asarray(pairs, dtype=np.int64)[:, :2]
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    if copies > 1:
+        pairs = np.repeat(pairs, copies, axis=0)
+    m = pairs.shape[0]
+    n_items, n_cols = graph.n_items, graph.n_cols
+
+    # collection side: one fresh 2-member row per pair (appended, so real
+    # collection ids are unchanged)
+    new_c2i_indptr = np.concatenate([
+        c2i_indptr,
+        c2i_indptr[-1] + 2 * np.arange(1, m + 1, dtype=np.int64)])
+    new_c2i_indices = np.concatenate([c2i_indices,
+                                      pairs.reshape(-1).astype(np.int32)])
+
+    # item side: rebuild the CSR with the pair edges merged in
+    # (pairs.reshape(-1) pairs with repeat(cols, 2): a_j, b_j -> col_j)
+    from gcn_song_embeddings_tpu.data.graph import _build_csr
+
+    old_src = np.repeat(np.arange(n_items, dtype=np.int64),
+                        np.diff(i2c_indptr))
+    new_cols = n_cols + np.arange(m, dtype=np.int64)
+    src = np.concatenate([old_src, pairs.reshape(-1)])
+    dst = np.concatenate([i2c_indices, np.repeat(new_cols, 2)])
+    i2c = _build_csr(src, dst, n_items)
+    return DeviceGraph.from_arrays(i2c.indptr, i2c.indices,
+                                   new_c2i_indptr.astype(np.int32),
+                                   new_c2i_indices)

@@ -174,7 +174,7 @@ def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
     n_items = graph.n_items
     T = cfg.t_precompute
 
-    cached = _load_cache(path, n_items, T, cfg, seed)
+    cached = _load_cache(path, n_items, T, cfg, seed, graph.n_edges)
     if cached is not None:
         return cached
 
@@ -207,7 +207,7 @@ def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
         if verbose:
             print(f"neighborhoods: {stop}/{n_items} done")
 
-    _save_cache(path, all_w, all_n, cfg, seed)
+    _save_cache(path, all_w, all_n, cfg, seed, graph.n_edges)
     return all_w, all_n
 
 
@@ -221,28 +221,32 @@ def effective_chains(n_hops: int, parallel_chains: int) -> int:
     return w
 
 
-def _cache_meta(cfg: WalkConfig, seed: int) -> tuple[np.ndarray, np.float64]:
+def _cache_meta(cfg: WalkConfig, seed: int, n_edges: int
+                ) -> tuple[np.ndarray, np.float64]:
     # seed is deliberately NOT part of the cache key: the artifact is a
     # statistical estimate whose distribution does not depend on the seed
     # (reloading across seeds matches the reference's load-if-present
     # pragmatics); n_hops/alpha — and the chain split, which perturbs the
-    # distribution slightly (ops/walks.py) — DO change it.
+    # distribution slightly (ops/walks.py) — DO change it.  n_edges pins
+    # the swept GRAPH (e.g. a colisten-augmented graph must not reuse the
+    # plain graph's cache; legacy 2-element metas fail the compare and
+    # recompute).
     del seed
     chains = effective_chains(cfg.n_hops, cfg.parallel_chains)
-    return (np.array([cfg.n_hops, chains], dtype=np.int64),
+    return (np.array([cfg.n_hops, chains, n_edges], dtype=np.int64),
             np.float64(cfg.alpha))
 
 
-def _save_cache(path, all_w, all_n, cfg, seed) -> None:
+def _save_cache(path, all_w, all_n, cfg, seed, n_edges) -> None:
     if path is None:
         return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    meta, alpha = _cache_meta(cfg, seed)
+    meta, alpha = _cache_meta(cfg, seed, n_edges)
     np.savez_compressed(path, weights=all_w, nodes=all_n, meta=meta,
                         alpha=alpha)
 
 
-def _load_cache(path, n_items, T, cfg, seed):
+def _load_cache(path, n_items, T, cfg, seed, n_edges):
     """Shape + walk-hyperparameter validated reload (the reference only
     shape-checks, pinsage_model.py:113-116 — that silently serves stale
     neighborhoods when alpha/n_hops change, e.g. in a walk-param grid)."""
@@ -254,7 +258,7 @@ def _load_cache(path, n_items, T, cfg, seed):
         alpha = float(z["alpha"]) if "alpha" in z.files else None
     if weights.shape != (n_items, T):
         return None
-    want_meta, want_alpha = _cache_meta(cfg, seed)
+    want_meta, want_alpha = _cache_meta(cfg, seed, n_edges)
     if meta is None or alpha is None:
         return None  # legacy cache without provenance: recompute
     if not (np.array_equal(meta, want_meta)
@@ -289,7 +293,7 @@ def precompute_neighborhoods_multichip(graph: DeviceGraph, cfg: WalkConfig,
 
     n_items = graph.n_items
     T = cfg.t_precompute
-    cached = _load_cache(path, n_items, T, cfg, seed)
+    cached = _load_cache(path, n_items, T, cfg, seed, graph.n_edges)
     if cached is not None:
         return cached
 
@@ -327,5 +331,5 @@ def precompute_neighborhoods_multichip(graph: DeviceGraph, cfg: WalkConfig,
         if verbose:
             print(f"neighborhoods[{n_dev}dev]: {stop}/{n_items} done")
 
-    _save_cache(path, all_w, all_n, cfg, seed)
+    _save_cache(path, all_w, all_n, cfg, seed, graph.n_edges)
     return all_w, all_n

@@ -207,6 +207,20 @@ class PinSageTrainer:
                 f"walk.t_precompute={self.cfg.walk.t_precompute}: hard "
                 f"negatives are drawn from the precomputed neighborhood "
                 f"ranks (SURVEY 7b.6)")
+        if self.cfg.walk.colisten_copies > 0:
+            # give the walks the co-listen signal CF factorizes directly
+            # (walk.colisten_copies; data/device.augment_with_colisten) —
+            # a distinct cache path so plain/augmented artifacts coexist
+            from gcn_song_embeddings_tpu.data.device import (
+                augment_with_colisten,
+            )
+
+            self.graph = graph = augment_with_colisten(
+                graph, positives, self.cfg.walk.colisten_copies)
+            if nbhds_path is not None:
+                root, ext = os.path.splitext(nbhds_path)
+                nbhds_path = (f"{root}.colisten"
+                              f"{self.cfg.walk.colisten_copies}{ext}")
         if nbhds is None:
             nbhds = precompute_neighborhoods(
                 graph, self.cfg.walk, nbhds_path, seed=self.cfg.train.seed,

@@ -1,0 +1,119 @@
+"""Co-listen graph augmentation (VERDICT r3 item 1 mechanism).
+
+`augment_with_colisten` materializes train-positive pairs as 2-member
+pseudo-collections so the bipartite two-step walk crosses co-listen links
+— the signal TrackTrackCF factorizes directly (reference
+baselines.py:458-487).  Structural correctness + PPR reachability +
+trainer integration (distinct cache path, cache invalidation by n_edges).
+"""
+
+import os
+
+import numpy as np
+
+from gcn_song_embeddings_tpu.data.device import (
+    DeviceGraph,
+    augment_with_colisten,
+)
+
+
+def _toy_graph():
+    """3 items, 2 collections: c0={0,1}, c1={1,2}."""
+    return DeviceGraph.from_arrays(
+        i2c_indptr=np.array([0, 1, 3, 4]),
+        i2c_indices=np.array([0, 0, 1, 1]),
+        c2i_indptr=np.array([0, 2, 4]),
+        c2i_indices=np.array([0, 1, 1, 2]),
+    )
+
+
+def test_structural_augmentation():
+    g = _toy_graph()
+    pairs = np.array([[0, 2], [2, 2], [0, 2]])  # self-pair dropped, dup kept
+    aug = augment_with_colisten(g, pairs, copies=2)
+
+    assert aug.n_items == 3
+    assert aug.n_cols == 2 + 4                     # 2 valid pairs x 2 copies
+    # every pseudo-collection holds exactly {0, 2}
+    indptr = np.asarray(aug.c2i_indptr)
+    indices = np.asarray(aug.c2i_indices)
+    for c in range(2, 6):
+        members = indices[indptr[c]:indptr[c + 1]]
+        assert sorted(members.tolist()) == [0, 2]
+    # original collections untouched
+    np.testing.assert_array_equal(indices[indptr[0]:indptr[1]], [0, 1])
+    np.testing.assert_array_equal(indices[indptr[1]:indptr[2]], [1, 2])
+    # item side: items 0 and 2 gained 4 pseudo-collection memberships each
+    i_indptr = np.asarray(aug.i2c_indptr)
+    i_indices = np.asarray(aug.i2c_indices)
+    row0 = i_indices[i_indptr[0]:i_indptr[1]]
+    assert sorted(row0.tolist()) == [0, 2, 3, 4, 5]
+    row1 = i_indices[i_indptr[1]:i_indptr[2]]
+    assert sorted(row1.tolist()) == [0, 1]          # item 1 unchanged
+    assert aug.n_edges == g.n_edges + 2 * 2 * 2 * 2
+
+    # deterministic (reference double-instantiation expectation, §7b.12)
+    aug2 = augment_with_colisten(g, pairs, copies=2)
+    for a, b in zip(aug, aug2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_walks_reach_colisten_neighbors():
+    """Two items with NO shared playlist become mutual PPR neighbors only
+    through the materialized pair."""
+    from gcn_song_embeddings_tpu.config import WalkConfig
+    from gcn_song_embeddings_tpu.ops.ppr import precompute_neighborhoods
+
+    # items 0,1 share c0; items 2,3 share c1; no path between the groups
+    g = DeviceGraph.from_arrays(
+        i2c_indptr=np.array([0, 1, 2, 3, 4]),
+        i2c_indices=np.array([0, 0, 1, 1]),
+        c2i_indptr=np.array([0, 2, 4]),
+        c2i_indices=np.array([0, 1, 2, 3]),
+    )
+    cfg = WalkConfig(n_hops=200, t_precompute=3, batch_walkers=4)
+    w, n = precompute_neighborhoods(g, cfg, path=None, seed=0)
+    nb0 = set(n[0][w[0] > 0].tolist())
+    assert nb0 == {1}
+
+    aug = augment_with_colisten(g, np.array([[0, 2]]))
+    w2, n2 = precompute_neighborhoods(aug, cfg, path=None, seed=0)
+    nb0 = set(n2[0][w2[0] > 0].tolist())
+    assert 2 in nb0 and 1 in nb0
+
+
+def test_trainer_colisten_cache_isolation(graph, positives, tmp_path):
+    """colisten runs use a distinct nbhds cache path, and the plain cache
+    is never served for the augmented graph (n_edges in the meta)."""
+    from gcn_song_embeddings_tpu.config import RunConfig, config_with_overrides
+    from gcn_song_embeddings_tpu.data.device import DeviceGraph
+    from gcn_song_embeddings_tpu.train.trainer import PinSageTrainer
+
+    base = {"train.epochs": 1, "train.batches_per_epoch": 5,
+            "train.batch_size": 16, "walk.n_hops": 50,
+            "walk.batch_walkers": 256}
+    nbhds_path = os.path.join(str(tmp_path), "nb.npz")
+
+    cfg = config_with_overrides(RunConfig(run_name="plain"), base)
+    tr = PinSageTrainer(DeviceGraph.from_graph(graph), graph.n_items,
+                        graph.features, positives, cfg=cfg,
+                        base_run_dir=str(tmp_path), nbhds_path=nbhds_path,
+                        log=False, load_save=False, verbose=False)
+    assert os.path.isfile(nbhds_path)
+
+    cfg2 = config_with_overrides(RunConfig(run_name="co"),
+                                 dict(base, **{"walk.colisten_copies": 1}))
+    tr2 = PinSageTrainer(DeviceGraph.from_graph(graph), graph.n_items,
+                         graph.features, positives, cfg=cfg2,
+                         base_run_dir=str(tmp_path), nbhds_path=nbhds_path,
+                         log=False, load_save=False, verbose=False)
+    co_path = os.path.join(str(tmp_path), "nb.colisten1.npz")
+    assert os.path.isfile(co_path)
+    assert tr2.graph.n_edges > tr.graph.n_edges
+    tr2.train()                                     # end-to-end smoke
+    assert tr2.e == 1
+
+    # the two artifacts carry distinct n_edges metas — neither can be
+    # served for the other graph
+    with np.load(nbhds_path) as z_plain, np.load(co_path) as z_co:
+        assert z_plain["meta"][2] != z_co["meta"][2]
