@@ -13,6 +13,13 @@ max-margin loss + Adam, pinsage_model.py:189-265 / pinsage_training.py:181-214)
 run on the same host, same synthetic data.  Edges per step = neighbor
 aggregations = sum over conv layers of (frontier size x T).
 
+The line also carries a second, FLOP-bound shape (`flopbound_*` keys): the
+reference grid's large config (n_layers=4, hidden 1024, out 256 —
+/root/reference/dashboard.py:136-137) at B=4096 with the full-graph
+forward, reported as TFLOP/s and the fraction of the measured ~92.5
+TFLOP/s no-gather v5e ceiling (RESULTS.md roofline), so the compute-bound
+regime has a standing MFU number next to the latency-bound headline.
+
 The baseline timing is cached in BENCH_BASELINE.json (delete to re-measure).
 All progress goes to stderr; stdout carries only the JSON line.
 """
@@ -134,6 +141,92 @@ def measure_tpu(features, nb_w, nb_n, positives) -> float:
     return per_batch, compile_s
 
 
+FB_BATCH = 4096
+FB_LAYERS = 4
+FB_HIDDEN = 1024
+FB_OUT = 256
+FB_CHUNK_SMALL = 20
+FB_CHUNK_LARGE = 100
+# measured no-gather compute ceiling for this op shape on v5e (RESULTS.md
+# "aggregation roofline decomposition": fused einsum+elementwise on
+# resident rows sustains ~90-95 TFLOP/s, f32 == bf16)
+V5E_CEILING_TFLOPS = 92.5
+
+
+def flopbound_matmul_flops(n_tracks: int) -> int:
+    """Analytic matmul FLOPs per FLOP-bound train step (full-graph
+    strategy: every layer convolves the WHOLE catalog, N*T Q-rows +
+    N W-rows; backward ~2x forward on the same matmuls)."""
+    total = 0
+    d_in = FEAT_DIM
+    for _ in range(FB_LAYERS):
+        total += 2 * n_tracks * T * d_in * FB_HIDDEN          # Q
+        total += 2 * n_tracks * (d_in + FB_HIDDEN) * FB_OUT   # W
+        d_in = FB_OUT
+    total += 2 * (3 * FB_BATCH) * FB_OUT * FB_OUT * 2          # G1+G2 head
+    return 3 * total                                           # fwd + bwd
+
+
+def measure_flopbound(features, nb_w, nb_n, positives):
+    """Seconds per train batch at the reference grid's LARGE shape
+    (n_layers=4, hidden 1024, out 256 — /root/reference/dashboard.py:
+    136-137, grid_search_results/grid_search2.json) with B=4096 and the
+    full-graph forward.  The headline B=128 shape is gather/latency-bound
+    (MXU at ~35 of ~92 TFLOP/s); this one exercises the compute-bound
+    regime and is reported as TFLOP/s + fraction of the measured no-gather
+    ceiling (VERDICT r3 item 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gcn_song_embeddings_tpu.config import RunConfig, config_with_overrides
+    from gcn_song_embeddings_tpu.train import trainer as trn
+    from gcn_song_embeddings_tpu.models.pinsage import init_pinsage
+
+    cfg = config_with_overrides(RunConfig(run_name="bench_fb"), {
+        "model.in_dim": FEAT_DIM, "model.hidden_dim": FB_HIDDEN,
+        "model.out_dim": FB_OUT, "model.n_layers": FB_LAYERS, "model.T": T,
+        "train.batch_size": FB_BATCH, "train.fullgraph_forward": "on",
+    })
+    params = init_pinsage(jax.random.PRNGKey(0), FB_LAYERS, FEAT_DIM,
+                          FB_HIDDEN, FB_OUT)
+    tx = trn.make_optimizer(cfg)
+    opt_state = tx.init(params)
+    fj = jnp.asarray(features)
+    wj = jnp.asarray(nb_w)
+    nj = jnp.asarray(nb_n)
+    pj = jnp.asarray(positives)
+    key = jax.random.PRNGKey(2)
+
+    def run_chunk(n_chunk, i):
+        nonlocal params, opt_state
+        k = jax.random.fold_in(key, i)
+        t0 = time.time()
+        params, opt_state, m = trn._train_chunk(
+            params, opt_state, fj, wj, nj, pj, k, cfg.train, cfg.model,
+            N_TRACKS, n_chunk, tx)
+        np.asarray(m)
+        return time.time() - t0
+
+    t0 = time.time()
+    run_chunk(FB_CHUNK_SMALL, 0)
+    run_chunk(FB_CHUNK_LARGE, 1)
+    log(f"flopbound compile+warmup: {time.time() - t0:.1f}s")
+    diffs = []
+    for i in range(REPS):
+        t_small = run_chunk(FB_CHUNK_SMALL, 2 + 2 * i)
+        t_large = run_chunk(FB_CHUNK_LARGE, 3 + 2 * i)
+        log(f"  fb rep {i}: small({FB_CHUNK_SMALL})={t_small:.3f}s "
+            f"large({FB_CHUNK_LARGE})={t_large:.3f}s")
+        diffs.append((t_large - t_small) / (FB_CHUNK_LARGE - FB_CHUNK_SMALL))
+    per_batch = float(np.median(diffs))
+    tflops = flopbound_matmul_flops(N_TRACKS) / per_batch / 1e12
+    log(f"flopbound per-batch: {per_batch * 1e3:.3f} ms = "
+        f"{tflops:.1f} TFLOP/s "
+        f"({100 * tflops / V5E_CEILING_TFLOPS:.0f}% of the no-gather "
+        f"ceiling)")
+    return per_batch, tflops
+
+
 def measure_torch_baseline(features, nb_w, nb_n, positives) -> float:
     """Reference-equivalent per-batch time: torch CPU, 3 forwards + loss +
     backward + Adam, same math as pinsage_model.py:189-265 (independent
@@ -225,11 +318,17 @@ def main() -> None:
                     "hidden": HIDDEN, "out": OUT, "feat_dim": FEAT_DIM,
                     "n_tracks": N_TRACKS}
     cached = None
+    cached_record = None
     if os.path.isfile(BASELINE_PATH):
         with open(BASELINE_PATH) as fh:
             d = json.load(fh)
         if d.get("config") == bench_config:
             cached = d.get("torch_cpu_s_per_batch")
+            cached_record = d.get("min_record") or {
+                # legacy layout: stamps were top-level (and possibly from
+                # a later run than the min itself — unrecoverable; keep)
+                "measured_unix": d.get("measured_unix"),
+                "loadavg_1m": d.get("loadavg_1m")}
         else:
             log("cached baseline is for a DIFFERENT bench config — "
                 "ignoring it")
@@ -237,26 +336,42 @@ def main() -> None:
         base_per_batch = cached
         log(f"cached torch baseline: {base_per_batch * 1e3:.2f} ms/batch")
     else:
-        base_per_batch = measure_torch_baseline(features, nb_w, nb_n,
-                                                positives)
+        measured = measure_torch_baseline(features, nb_w, nb_n, positives)
+        this_record = {"torch_cpu_s_per_batch": measured,
+                       "measured_unix": time.time(),
+                       "loadavg_1m": os.getloadavg()[0]}
+        base_per_batch, min_record = measured, this_record
         if cached is not None:
-            log(f"baseline drift vs cached: {base_per_batch / cached:.3f}x "
-                f"({base_per_batch * 1e3:.2f} vs {cached * 1e3:.2f} ms)")
+            log(f"baseline drift vs cached: {measured / cached:.3f}x "
+                f"({measured * 1e3:.2f} vs {cached * 1e3:.2f} ms)")
             # vs_baseline uses the FASTEST torch measurement seen on this
             # host: co-tenant load on the small CPU host can slow the
             # baseline 2-3x between rounds, which would inflate the
             # speedup; giving the baseline its best-ever time keeps the
-            # ratio conservative and round-over-round comparable.
-            base_per_batch = min(base_per_batch, cached)
+            # ratio conservative and round-over-round comparable.  Sanity
+            # floor: a measurement under 1/4 of the standing min is a
+            # timing glitch, not a faster host — don't let it become the
+            # permanent denominator (ADVICE r3).
+            if measured < 0.25 * cached:
+                log("new measurement is <0.25x the standing min — "
+                    "treating as a glitch, keeping the cached baseline")
+                base_per_batch, min_record = cached, cached_record
+            elif measured >= cached:
+                base_per_batch, min_record = cached, cached_record
         with open(BASELINE_PATH, "w") as fh:
             json.dump({"torch_cpu_s_per_batch": base_per_batch,
                        "note": "fastest torch-CPU per-batch measured on "
-                               "this host for this config (sticky min)",
-                       "measured_unix": time.time(),
-                       "loadavg_1m": os.getloadavg()[0],
+                               "this host for this config (sticky min); "
+                               "min_record stamps the run that PRODUCED "
+                               "the min, last_run the most recent "
+                               "measurement",
+                       "min_record": min_record,
+                       "last_run": this_record,
                        "config": bench_config}, fh, indent=2)
 
     per_batch, compile_s = measure_tpu(features, nb_w, nb_n, positives)
+    fb_per_batch, fb_tflops = measure_flopbound(features, nb_w, nb_n,
+                                                positives)
     value = eps / per_batch
     vs = base_per_batch / per_batch
     print(json.dumps({"metric": "train_edges_per_s_chip",
@@ -264,7 +379,14 @@ def main() -> None:
                       "unit": "edges/s",
                       "vs_baseline": round(vs, 3),
                       "compile_s": round(compile_s, 1),
-                      "warm_step_ms": round(per_batch * 1e3, 4)}))
+                      "warm_step_ms": round(per_batch * 1e3, 4),
+                      "flopbound_tflops": round(fb_tflops, 2),
+                      "flopbound_mfu_vs_ceiling": round(
+                          fb_tflops / V5E_CEILING_TFLOPS, 3),
+                      "flopbound_step_ms": round(fb_per_batch * 1e3, 3),
+                      "flopbound_config": f"L{FB_LAYERS}-h{FB_HIDDEN}-"
+                                          f"o{FB_OUT}-B{FB_BATCH}-"
+                                          f"fullgraph"}))
 
 
 if __name__ == "__main__":

@@ -39,6 +39,7 @@ def main() -> None:
     ap.add_argument("--collections", type=int, default=4_000)
     ap.add_argument("--positives", type=int, default=60_000)
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--colisten-copies", type=int, default=1)
     ap.add_argument("--out-prefix", default="results/hard_roster")
     args = ap.parse_args()
 
@@ -51,13 +52,25 @@ def main() -> None:
     runs = os.path.join(work, "runs")
     os.makedirs(work, exist_ok=True)
 
+    marker = os.path.join(ds, "dataset_kind.txt")
     if not all(os.path.isfile(os.path.join(ds, f)) for f in
                ("graph.json", "positives.json", "features.npy")):
         log("synthesizing hard dataset ...")
         make_hard_dataset(ds, n_tracks=args.tracks,
                           n_collections=args.collections,
                           n_positives=args.positives, seed=0)
+        with open(marker, "w") as f:
+            f.write("hard")
     else:
+        # refuse to publish a mislabeled roster: a reused work dir must
+        # carry the hard marker (missing marker = unknown, also refused)
+        prev = (open(marker).read().strip()
+                if os.path.isfile(marker) else "unknown")
+        if prev != "hard":
+            raise SystemExit(
+                f"work dir {ds} holds a {prev!r} dataset but this script "
+                f"publishes HARD-benchmark rosters; use a different "
+                f"--work-dir")
         log(f"reusing dataset in {ds}")
 
     base_overrides = [
@@ -74,6 +87,14 @@ def main() -> None:
         ("pinsage_hard_hn", ["--set", "train.hard_negatives=true"]),
         ("pinsage_hard_tuned", ["--set", "train.epochs=30",
                                 "--set", "train.margin=1e-05"]),
+        # tuned schedule + co-listen edges (walk.colisten_copies): the
+        # round-4 headline run — gives the walks the train-positive
+        # co-occurrence signal the CF baselines factorize directly
+        # (scripts/colisten_ab.py for the controlled matrix)
+        ("pinsage_hard_co", ["--set", "train.epochs=30",
+                             "--set", "train.margin=1e-05",
+                             "--set",
+                             f"walk.colisten_copies={args.colisten_copies}"]),
     )
     for run_name, extra in run_list:
         if os.path.isfile(os.path.join(runs, run_name, "emb.npy")):
