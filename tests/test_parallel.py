@@ -11,6 +11,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from functools import partial
 from jax.sharding import PartitionSpec as P
 
@@ -187,11 +188,18 @@ def test_multihost_degenerate_init():
     assert mesh.shape["dp"] * 2 == len(jax.devices())
 
 
-def test_multihost_two_process_training(tmp_path):
-    """REAL multi-host run: 2 OS processes x 4 virtual CPU devices joined by
-    jax.distributed (gloo CPU collectives) into one 8-device global mesh
-    (the XLA multi-process simulation SURVEY §4 asks for).  Both processes
-    must train, embed, and agree bit-exactly on the result."""
+@pytest.mark.parametrize("num_procs,local,n_graph", [
+    (2, 4, 2),   # 2 hosts x 4 devices, graph axis spanning processes
+    (4, 2, 2),   # 4 hosts x 2 devices: dp spans processes (the DCN axis),
+    #              graph stays INSIDE each process (the ICI axis) — the
+    #              axis-to-network mapping rule, asserted in the worker
+])
+def test_multihost_training(tmp_path, num_procs, local, n_graph):
+    """REAL multi-host runs: N OS processes x M virtual CPU devices joined
+    by jax.distributed (gloo CPU collectives) into one global mesh (the
+    XLA multi-process simulation SURVEY §4 asks for).  Every process must
+    train, embed, run the edge-partitioned PPR walk sweep, and agree
+    bit-exactly on all results."""
     import socket
     import subprocess
 
@@ -203,20 +211,24 @@ def test_multihost_two_process_training(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), str(port), str(tmp_path)],
+        [sys.executable, worker, str(i), str(num_procs), str(local),
+         str(n_graph), str(port), str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
-        for i in range(2)]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+        for i in range(num_procs)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 
-    emb0 = np.load(tmp_path / "emb_0.npy")
-    emb1 = np.load(tmp_path / "emb_1.npy")
-    l0 = np.load(tmp_path / "losses_0.npy")
-    l1 = np.load(tmp_path / "losses_1.npy")
-    np.testing.assert_array_equal(emb0, emb1)
-    np.testing.assert_array_equal(l0, l1)
-    assert np.isfinite(emb0).all() and np.isfinite(l0).all()
+    for kind in ("emb", "losses", "ppr"):
+        ref = np.load(tmp_path / f"{kind}_0.npy")
+        assert np.isfinite(ref).all()
+        for pid in range(1, num_procs):
+            np.testing.assert_array_equal(
+                ref, np.load(tmp_path / f"{kind}_{pid}.npy"),
+                err_msg=f"{kind} differs on rank {pid}")
+    # the sharded walker actually walked (visits spread over the catalog)
+    ppr = np.load(tmp_path / "ppr_0.npy")
+    assert (ppr > 0).mean() > 0.5
 
 
 def test_edge_partitioned_walks_distribution(device_graph):
