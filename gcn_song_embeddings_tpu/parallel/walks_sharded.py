@@ -250,7 +250,7 @@ def precompute_neighborhoods_partitioned(graph: DeviceGraph, cfg, mesh: Mesh,
 
     n_items = graph.n_items
     T = cfg.t_precompute
-    cached = _load_cache(path, n_items, T, cfg, seed)
+    cached = _load_cache(path, n_items, T, cfg, seed, graph.n_edges)
     if cached is not None:
         return cached
 
@@ -288,5 +288,5 @@ def precompute_neighborhoods_partitioned(graph: DeviceGraph, cfg, mesh: Mesh,
         all_n[start:stop] = np.asarray(n)[:valid]
         if verbose:
             print(f"neighborhoods[partitioned]: {stop}/{n_items} done")
-    _save_cache(path, all_w, all_n, cfg, seed)
+    _save_cache(path, all_w, all_n, cfg, seed, graph.n_edges)
     return all_w, all_n
