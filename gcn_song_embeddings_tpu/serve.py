@@ -71,14 +71,15 @@ class EmbeddingIndex:
     """Device-resident kNN index over a track embedding matrix.
 
     quantized=True stores the table as int8 rows + per-row scales (4x less
-    HBM, int8 MXU contraction — ops/quantize.py).  Measured quality cost on
-    trained (tightly clustered) embeddings: hit@100 drops ~1% and MRR ~10%
-    (near-tie rank shuffles); keep the f32 index when exact rank order
-    matters.  In particular, embeddings trained at the reference's tiny
-    margin (1e-5) separate by ~1e-4 cosine — BELOW int8 resolution — so
-    quantized serving of them returns noise; train with margin >= 0.1
-    (RunConfig.recommended()) before enabling it (RESULTS.md "Matmul
-    precision")."""
+    HBM, int8 MXU contraction — ops/quantize.py).  Measured quality cost
+    (results/serve_int8.json, chip-measured on the 20k hard benchmark,
+    scripts/serve_int8_quality.py): on margin-0.1 embeddings int8 ranking
+    is lossless within noise — hit@100 -0.09%, MRR within +/-7% (near-tie
+    rank shuffles).  Embeddings trained at the reference's tiny margin
+    (1e-5) separate by ~1e-4 cosine — BELOW int8 resolution — and measure
+    a 97-98% hit@100/MRR collapse under int8 scoring; train with
+    margin >= 0.1 (RunConfig.recommended()) before enabling it
+    (RESULTS.md "Matmul precision")."""
 
     def __init__(self, embeddings: np.ndarray,
                  track_ids: Optional[list[str]] = None,

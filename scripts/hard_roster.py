@@ -87,12 +87,15 @@ def main() -> None:
         ("pinsage_hard_hn", ["--set", "train.hard_negatives=true"]),
         ("pinsage_hard_tuned", ["--set", "train.epochs=30",
                                 "--set", "train.margin=1e-05"]),
-        # tuned schedule + co-listen edges (walk.colisten_copies): the
-        # round-4 headline run — gives the walks the train-positive
-        # co-occurrence signal the CF baselines factorize directly
-        # (scripts/colisten_ab.py for the controlled matrix)
+        # tuned schedule + co-listen edges + T=10: the round-4 headline
+        # run — gives the walks the train-positive co-occurrence signal
+        # the CF baselines factorize directly, with the wider aggregation
+        # fan-out the controlled matrix measured best
+        # (results/colisten_ab.jsonl: co1_T10 hit@100 0.6178 vs ALS
+        # 0.5953 on the identical split)
         ("pinsage_hard_co", ["--set", "train.epochs=30",
                              "--set", "train.margin=1e-05",
+                             "--set", "model.T=10",
                              "--set",
                              f"walk.colisten_copies={args.colisten_copies}"]),
     )
