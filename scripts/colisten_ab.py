@@ -58,6 +58,15 @@ ARMS = [
     ("hn10", {"train.epochs": 10, "train.hard_negatives": True}),
     ("cur10", {"train.epochs": 10, "train.hard_negatives": True,
                "train.hn_start_epoch": 5}),
+    # --- round-4 second wave: push the co1_T10 winner further ---
+    ("co1_T10_60ep", {"walk.colisten_copies": 1, "model.T": 10,
+                      "train.epochs": 60}),
+    ("co1_T20", {"walk.colisten_copies": 1, "model.T": 20}),
+    ("co1_T10_m01", {"walk.colisten_copies": 1, "model.T": 10,
+                     "train.margin": 0.1}),
+    ("co1_T10_cur", {"walk.colisten_copies": 1, "model.T": 10,
+                     "train.hard_negatives": True,
+                     "train.hn_start_epoch": 20}),
 ]
 
 

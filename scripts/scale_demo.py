@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batches-per-epoch", type=int, default=500)
     ap.add_argument("--margin", type=float, default=0.1)
+    ap.add_argument("--colisten-copies", type=int, default=0,
+                    help="materialize train positives as pseudo-"
+                         "collections (walk.colisten_copies)")
+    ap.add_argument("--T", type=int, default=3, help="model.T fan-out")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--hard", action="store_true",
                     help="use make_hard_dataset (hierarchy/power-law "
@@ -125,12 +129,16 @@ def main() -> None:
     # flag away — see RESULTS.md "Quality" for measured hit@100 at each
     # setting under the f32-accurate rank evaluator.
     run_name = f"scale_demo_m{args.margin:g}_lr{args.lr:g}"
+    if args.colisten_copies:
+        run_name += f"_co{args.colisten_copies}"
     cfg = config_with_overrides(RunConfig(run_name=run_name), {
         "train.epochs": args.epochs,
         "train.batches_per_epoch": args.batches_per_epoch,
         "train.lr": args.lr,
         "train.margin": args.margin,
         "walk.batch_walkers": 8192,
+        "walk.colisten_copies": args.colisten_copies,
+        "model.T": args.T,
     })
     with timer.phase("precompute"):
         trainer = PinSageTrainer(
