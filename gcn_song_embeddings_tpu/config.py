@@ -151,7 +151,13 @@ class RunConfig:
         on a numerical knife edge.  margin=0.1 buys the same accuracy
         with ~1e-1-scale separations (RESULTS.md "Matmul precision" +
         "Quality"); lr=1e-3 converges in fewer epochs on the grid
-        (results/grid_search1.json)."""
+        (results/grid_search1.json).
+
+        On co-listen catalogs also consider walk.colisten_copies=1 (+
+        model.T=10): it took PinSage past every CF baseline on the hard
+        benchmark (RESULTS.md round 4) — kept off here because it
+        changes the walked graph and the right copies/T depend on the
+        positives' density."""
         return RunConfig(
             run_name=run_name,
             train=TrainConfig(lr=1e-3, margin=0.1),
