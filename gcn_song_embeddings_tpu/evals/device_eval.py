@@ -10,10 +10,17 @@ candidates is
 which is one matmul row + one comparison per pair — fully fused on device,
 O(B*N) with nothing but scalar counts returned to the host.  Semantics
 match the reference's metrics: hit@K = rank <= K, MRR uses rank with the
-miss-as-rank-K fallback (eval.py:248-249).  (Ties: the reference's topk
-order resolves ties arbitrarily; here a tie counts in favor of the
-positive, an off-by-ties difference that is negligible for continuous
-embeddings.)
+miss-as-rank-K fallback (eval.py:248-249).
+
+Ties use AVERAGE rank (rank = 1 + #better + #tied/2): the reference's
+topk order resolves ties arbitrarily (≈ average over orders), and a
+tie-OPTIMISTIC rank (`> pos` only) materially inflates models whose
+embedding tables contain duplicate rows — measured: ALS factors on the
+hard benchmark hold only ~60% unique rows (cold items with identical
+co-occurrence rows collapse to identical factors; some queries tie with
+100s of items), which inflated ALS MRR 2.4x vs the list-based harness.
+Continuous learned embeddings (PinSage) have no exact ties and are
+unaffected.
 """
 
 from __future__ import annotations
@@ -69,11 +76,17 @@ def _rank_block(unit_emb: jnp.ndarray, q: jnp.ndarray, pos: jnp.ndarray,
         idx = start + jnp.arange(chunk)
         valid = (idx[None, :] < n) & (idx[None, :] != q[:, None])
         better = (sims > pos_sim[:, None]) & valid
-        return acc + jnp.sum(better, axis=1), None
+        # ties (excluding the positive itself) count half — average rank
+        tied = (sims == pos_sim[:, None]) & valid & \
+            (idx[None, :] != pos[:, None])
+        return (acc + 2 * jnp.sum(better, axis=1)
+                + jnp.sum(tied, axis=1)), None
 
+    # acc accumulates in half-rank units (2*better + tied) so the scan
+    # carry stays integer; final rank = 1 + acc/2 rounded down
     acc, _ = jax.lax.scan(tile, jnp.zeros(q.shape[0], jnp.int32),
                           jnp.arange(0, n_pad, chunk))
-    return 1 + acc
+    return 1 + acc // 2
 
 
 def rank_eval(embeddings: np.ndarray, test_pairs: np.ndarray,

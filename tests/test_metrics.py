@@ -153,3 +153,26 @@ def test_device_rank_eval_matches_knn_metrics():
     np.testing.assert_allclose(got["hit@10"], want_h10, atol=1e-9)
     np.testing.assert_allclose(got["hit@50"], want_h50, atol=1e-9)
     np.testing.assert_allclose(got["mrr@200"], want_mrr, atol=1e-6)
+
+
+def test_device_rank_eval_tie_semantics():
+    """Duplicate embedding rows (ties) must rank by AVERAGE rank, not
+    optimistically: a positive tied with m other items gets
+    rank = 1 + #better + m/2.  Guards the ALS-inflation bias found in
+    round 4 (device_eval docstring)."""
+    from gcn_song_embeddings_tpu.evals.device_eval import rank_eval
+
+    # catalog: query q=0; one better item; positive (3) tied with 4
+    # duplicates (4..7); rest worse
+    d = 8
+    base = np.eye(d, dtype=np.float32)
+    q = base[0]
+    better = 0.9 * q + np.sqrt(1 - 0.81) * base[1]
+    tied = 0.5 * q + np.sqrt(1 - 0.25) * base[2]
+    worse = base[3]
+    emb = np.stack([q, better, worse] + [tied] * 5)      # ids 3..7 tied
+    pairs = np.array([[0, 3]])
+    r = rank_eval(emb, pairs, hit_ks=(2, 4, 8), mrr_k=10, batch=1)
+    # better=rank-candidate count 1, tied others m=4 -> rank = 1+1+2 = 4
+    assert r["hit@4"] == 1.0 and r["hit@2"] == 0.0
+    np.testing.assert_allclose(r["mrr@10"], 1.0 / 4)
