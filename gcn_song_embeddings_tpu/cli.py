@@ -163,16 +163,12 @@ def cmd_train(args) -> None:
             ShardedTrainer,
         )
 
-        nbhds_path = graph.nbhds_path
-        if cfg.walk.colisten_copies > 0:
-            from gcn_song_embeddings_tpu.data.device import (
-                augment_with_colisten,
-            )
+        from gcn_song_embeddings_tpu.data.device import (
+            apply_colisten_config,
+        )
 
-            dg = augment_with_colisten(dg, train_pos,
-                                       cfg.walk.colisten_copies)
-            root, ext = os.path.splitext(nbhds_path)
-            nbhds_path = f"{root}.colisten{cfg.walk.colisten_copies}{ext}"
+        dg, nbhds_path = apply_colisten_config(dg, train_pos, cfg.walk,
+                                               graph.nbhds_path)
         nbhds = precompute_neighborhoods(dg, cfg.walk, nbhds_path,
                                          seed=cfg.train.seed, verbose=True)
         mesh = make_mesh(n_graph=args.mesh_graph)

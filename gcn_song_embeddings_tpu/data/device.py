@@ -110,3 +110,24 @@ def augment_with_colisten(graph: DeviceGraph, pairs: np.ndarray,
     return DeviceGraph.from_arrays(i2c.indptr, i2c.indices,
                                    new_c2i_indptr.astype(np.int32),
                                    new_c2i_indices)
+
+
+def apply_colisten_config(graph: DeviceGraph, positives: np.ndarray,
+                          walk_cfg, nbhds_path: str | None
+                          ) -> tuple[DeviceGraph, str | None]:
+    """Honor `walk.colisten_copies` in ONE place: returns the (possibly
+    augmented) graph and the (possibly '.colistenN'-suffixed) nbhds cache
+    path.  Both trainer entry points (PinSageTrainer.__init__ and the
+    CLI's ShardedTrainer branch) call this, so the augmentation and the
+    cache-naming scheme cannot diverge — the n_edges cache meta is the
+    backstop, not the mechanism."""
+    import os
+
+    if walk_cfg.colisten_copies <= 0:
+        return graph, nbhds_path
+    graph = augment_with_colisten(graph, positives,
+                                  walk_cfg.colisten_copies)
+    if nbhds_path is not None:
+        root, ext = os.path.splitext(nbhds_path)
+        nbhds_path = f"{root}.colisten{walk_cfg.colisten_copies}{ext}"
+    return graph, nbhds_path

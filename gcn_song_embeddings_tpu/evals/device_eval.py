@@ -63,6 +63,15 @@ def _rank_block(unit_emb: jnp.ndarray, q: jnp.ndarray, pos: jnp.ndarray,
     n = unit_emb.shape[0]
     qv = unit_emb[q]                                     # [B, d]
     pos_sim = jnp.sum(qv * unit_emb[pos], axis=1)        # [B]
+    # Tie tolerance: pos_sim above is an elementwise reduction while the
+    # candidate sims come from the HIGHEST-precision matmul — the two can
+    # disagree by ~1 ulp, which would break EXACT-equality tie detection
+    # for duplicate rows (the very case average-rank exists for).  A few
+    # f32 ulps of slack (1e-6 on cosine scale) classifies those as ties
+    # while staying ~100x below the smallest real separations the
+    # precision analysis cares about (~1e-4 for tiny-margin embeddings —
+    # RESULTS.md "Matmul precision").
+    tie_eps = 1e-6
     n_pad = ((n + chunk - 1) // chunk) * chunk
     emb_pad = jnp.pad(unit_emb, ((0, n_pad - n), (0, 0)))
 
@@ -75,9 +84,9 @@ def _rank_block(unit_emb: jnp.ndarray, q: jnp.ndarray, pos: jnp.ndarray,
                        precision=jax.lax.Precision.HIGHEST)
         idx = start + jnp.arange(chunk)
         valid = (idx[None, :] < n) & (idx[None, :] != q[:, None])
-        better = (sims > pos_sim[:, None]) & valid
+        better = (sims > pos_sim[:, None] + tie_eps) & valid
         # ties (excluding the positive itself) count half — average rank
-        tied = (sims == pos_sim[:, None]) & valid & \
+        tied = (jnp.abs(sims - pos_sim[:, None]) <= tie_eps) & valid & \
             (idx[None, :] != pos[:, None])
         return (acc + 2 * jnp.sum(better, axis=1)
                 + jnp.sum(tied, axis=1)), None

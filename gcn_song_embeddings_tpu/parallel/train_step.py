@@ -137,7 +137,8 @@ class ShardedTrainer:
         self.tx = make_optimizer(cfg)
         self.params = jax.device_put(params, replicate)
         self.opt_state = jax.device_put(self.tx.init(params), replicate)
-        self.epoch = 0
+        self.epoch = 0          # derived: batches_done // batches_per_epoch
+        self.batches_done = 0   # exact progress (chunks may end mid-epoch)
         self._chunks_run = 0
         self._step_fn = self._build_step()
         self._embed_fn = self._build_embed()
@@ -336,13 +337,12 @@ class ShardedTrainer:
         chunk = min(tcfg.checkpoint_every_batches, total)
         import time
 
-        done = self.epoch * bpe
-        while done < total:
+        while self.batches_done < total:
             t0 = time.time()
-            n = min(chunk, total - done)
+            n = min(chunk, total - self.batches_done)
             losses = self.train_chunk(n)
-            done += n
-            self.epoch = done // bpe
+            self.batches_done += n
+            self.epoch = self.batches_done // bpe
             if verbose:
                 print(f"epoch {self.epoch}/{epochs}: "
                       f"loss={losses[-1]:.6f} ({time.time() - t0:.2f}s)")
@@ -354,7 +354,8 @@ class ShardedTrainer:
 
         save_pytree(path, {"params": jax.device_get(self.params),
                            "opt_state": jax.device_get(self.opt_state)},
-                    scalars={"epoch": self.epoch})
+                    scalars={"epoch": self.epoch,
+                             "batches_done": self.batches_done})
 
     def load(self, path: str) -> bool:
         from gcn_song_embeddings_tpu.utils.checkpoint import load_pytree
@@ -369,6 +370,11 @@ class ShardedTrainer:
         self.params = jax.device_put(tree["params"], replicate)
         self.opt_state = jax.device_put(tree["opt_state"], replicate)
         self.epoch = int(scalars["epoch"])
+        # legacy checkpoints carry only whole epochs; exact progress when
+        # present (chunks may end mid-epoch since the fused train_epochs)
+        self.batches_done = int(scalars.get(
+            "batches_done",
+            self.epoch * self.cfg.train.batches_per_epoch))
         return True
 
     def embed(self, batch_size: int = 4096) -> np.ndarray:

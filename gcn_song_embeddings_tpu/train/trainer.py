@@ -209,18 +209,16 @@ class PinSageTrainer:
                 f"ranks (SURVEY 7b.6)")
         if self.cfg.walk.colisten_copies > 0:
             # give the walks the co-listen signal CF factorizes directly
-            # (walk.colisten_copies; data/device.augment_with_colisten) —
-            # a distinct cache path so plain/augmented artifacts coexist
+            # (walk.colisten_copies) — shared helper so the CLI's sharded
+            # branch and this path use one augmentation + cache-naming
+            # scheme
             from gcn_song_embeddings_tpu.data.device import (
-                augment_with_colisten,
+                apply_colisten_config,
             )
 
-            self.graph = graph = augment_with_colisten(
-                graph, positives, self.cfg.walk.colisten_copies)
-            if nbhds_path is not None:
-                root, ext = os.path.splitext(nbhds_path)
-                nbhds_path = (f"{root}.colisten"
-                              f"{self.cfg.walk.colisten_copies}{ext}")
+            graph, nbhds_path = apply_colisten_config(
+                graph, positives, self.cfg.walk, nbhds_path)
+            self.graph = graph
         if nbhds is None:
             nbhds = precompute_neighborhoods(
                 graph, self.cfg.walk, nbhds_path, seed=self.cfg.train.seed,

@@ -144,10 +144,12 @@ def main() -> None:
             f.write(json.dumps(row) + "\n")
         log("RESULT", json.dumps(row))
 
+    sel = set(args.arms.split(",")) if args.arms else None
+
     # ---- CF reference rows (identical split) ----
     for arm, algo in (("cf_als", "als"), ("cf_bpr", "bpr")):
-        if arm in done:
-            log(f"skip {arm} (done)")
+        if arm in done or (sel is not None and arm not in sel):
+            log(f"skip {arm}")
             continue
         from gcn_song_embeddings_tpu.models.baselines.mf import TrackTrackCF
 
@@ -158,7 +160,6 @@ def main() -> None:
                       hit_ks=(10, 100, 500), mrr_k=1000, batch=4096)
         emit(arm, m, {"train_s": round(time.time() - t0, 1)})
 
-    sel = set(args.arms.split(",")) if args.arms else None
     for arm, overrides in ARMS:
         if arm in done or (sel is not None and arm not in sel):
             log(f"skip {arm}")
@@ -166,13 +167,16 @@ def main() -> None:
         log(f"=== arm {arm} {overrides}")
         merged = {**TUNED, **overrides}
         if args.quick:
-            merged["train.epochs"] = max(merged["train.epochs"] // 10, 1)
+            merged["train.epochs"] = max(merged["train.epochs"] // 10, 2)
             merged["train.batches_per_epoch"] = 30
             merged["walk.n_hops"] = 100
             merged["walk.batch_walkers"] = 1024
             if "train.hn_start_epoch" in merged:
-                merged["train.hn_start_epoch"] = max(
-                    merged["train.hn_start_epoch"] // 10, 1)
+                # keep the warmup boundary STRICTLY inside the shrunken
+                # schedule so the gated-hard phase actually executes
+                merged["train.hn_start_epoch"] = min(
+                    max(merged["train.hn_start_epoch"] // 10, 1),
+                    merged["train.epochs"] - 1)
         cfg = config_with_overrides(RunConfig(run_name=arm), merged)
         t0 = time.time()
         trainer = PinSageTrainer(

@@ -91,9 +91,11 @@ def main() -> None:
         # run — gives the walks the train-positive co-occurrence signal
         # the CF baselines factorize directly, with the wider aggregation
         # fan-out the controlled matrix measured best
-        # (results/colisten_ab.jsonl: co1_T10 hit@100 0.6178 vs ALS
-        # 0.5953 on the identical split)
-        ("pinsage_hard_co", ["--set", "train.epochs=30",
+        # (results/colisten_ab.jsonl: co1_T10 hit@100 0.6176 vs ALS
+        # 0.4765 on the identical split, tie-fair evaluator)
+        ("pinsage_hard_co" + ("" if args.colisten_copies == 1
+                              else f"_x{args.colisten_copies}"),
+         ["--set", "train.epochs=30",
                              "--set", "train.margin=1e-05",
                              "--set", "model.T=10",
                              "--set",

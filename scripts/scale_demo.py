@@ -131,6 +131,11 @@ def main() -> None:
     run_name = f"scale_demo_m{args.margin:g}_lr{args.lr:g}"
     if args.colisten_copies:
         run_name += f"_co{args.colisten_copies}"
+    if args.T != 3:
+        # run_name keys the resume checkpoint dir; param shapes are
+        # T-independent, so an unsuffixed name would silently resume a
+        # different-T model
+        run_name += f"_T{args.T}"
     cfg = config_with_overrides(RunConfig(run_name=run_name), {
         "train.epochs": args.epochs,
         "train.batches_per_epoch": args.batches_per_epoch,

@@ -34,7 +34,10 @@ def int8_rank_eval(emb, test_pairs, hit_ks=(10, 100, 500), mrr_k=1000,
     """Rank metrics under the serving index's int8 scoring: quantize the
     unit-row table once (quantize_rows), quantize each query row, score
     with the int8 dot (same math as ops/quantize.int8_topk), and take the
-    positive's rank.  Self column excluded like the f32 evaluator."""
+    positive's rank.  Self column excluded and ties counted at AVERAGE
+    rank, matching evals/device_eval.rank_eval — int8 rounding collapses
+    distinct rows toward identical codes, so tie-optimistic ranking here
+    would understate the int8 drop vs the tie-fair f32 arm."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -59,9 +62,14 @@ def int8_rank_eval(emb, test_pairs, hit_ks=(10, 100, 500), mrr_k=1000,
             preferred_element_type=jnp.int32)
         sims = acc.astype(jnp.float32) * scales[None, :] * q_scale
         # exclude self (rank among OTHER items, like the f32 evaluator)
-        sims = sims.at[jnp.arange(q_ids.shape[0]), q_ids].set(-jnp.inf)
-        pos = sims[jnp.arange(q_ids.shape[0]), p_ids]
-        return 1 + jnp.sum(sims > pos[:, None], axis=1)
+        rows = jnp.arange(q_ids.shape[0])
+        sims = sims.at[rows, q_ids].set(-jnp.inf)
+        pos = sims[rows, p_ids]
+        # pos comes from the same scored matrix, so exact equality is the
+        # right tie predicate here (int8 scores are discrete)
+        better = jnp.sum(sims > pos[:, None], axis=1)
+        tied = jnp.sum(sims == pos[:, None], axis=1) - 1  # minus pos itself
+        return 1 + better + tied // 2
 
     ranks = np.empty(n, np.int64)
     for s in range(0, n, batch):
