@@ -74,8 +74,9 @@ class EmbeddingIndex:
     HBM, int8 MXU contraction — ops/quantize.py).  Measured quality cost
     (results/serve_int8.json, chip-measured on the 20k hard benchmark,
     scripts/serve_int8_quality.py): on margin-0.1 embeddings int8 ranking
-    is lossless within noise — hit@100 -0.09%, MRR within +/-7% (near-tie
-    rank shuffles).  Embeddings trained at the reference's tiny margin
+    is lossless within noise — hit@100 -0.18%, MRR -0.7% (tie-fair
+    average-rank on both sides).  Embeddings trained at the reference's
+    tiny margin
     (1e-5) separate by ~1e-4 cosine — BELOW int8 resolution — and measure
     a 97-98% hit@100/MRR collapse under int8 scoring; train with
     margin >= 0.1 (RunConfig.recommended()) before enabling it
