@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--schedule", choices=("ref", "quick"), default="ref")
+    ap.add_argument("--schedule", choices=("ref", "quick", "colisten"),
+                    default="ref")
     ap.add_argument("--dataset-kind", choices=("uniform", "hard"),
                     default="uniform",
                     help="'hard' = make_hard_dataset (power-law playlists, "
@@ -87,6 +88,18 @@ def main() -> None:
         default_out = ("results/grid_search_hard.json"
                        if args.dataset_kind == "hard"
                        else "results/grid_search_refschedule.json")
+    elif args.schedule == "colisten":
+        # round-4 axis: the co-listen augmentation x fan-out x margin x lr
+        # at the reference schedule (pairs with results/colisten_ab.jsonl;
+        # run with --dataset-kind hard)
+        epochs, bpe = 30, 500
+        grid = {"train.margin": [0.1, 1e-5],
+                "train.lr": [1e-4, 1e-3],
+                "walk.colisten_copies": [0, 1],
+                "model.T": [3, 10]}
+        default_out = ("results/grid_search_colisten_hard.json"
+                       if args.dataset_kind == "hard"
+                       else "results/grid_search_colisten.json")
     else:
         epochs, bpe = 4, 500
         grid = {"train.margin": [0.1, 1e-5],
