@@ -97,3 +97,26 @@ def test_cli_sharded_train(cli_dataset, tmp_path):
     emb = np.load(os.path.join(run_dir, "sh1", "emb.npy"))
     assert emb.shape == (300, 128)
     assert os.path.isfile(os.path.join(run_dir, "sh1", "state.npz"))
+
+
+def test_cli_sharded_train_colisten(cli_dataset, tmp_path):
+    """walk.colisten_copies on the SHARDED CLI path: the augmentation +
+    '.colistenN' cache suffix go through the same shared helper as the
+    single-chip trainer (data/device.apply_colisten_config)."""
+    run_dir = str(tmp_path / "runs_shco")
+    cli_main(["train", "--dataset", cli_dataset, "--run-dir", run_dir,
+              "--run-name", "shco", "--mesh-graph", "2",
+              "--set", "train.epochs=1",
+              "--set", "train.batches_per_epoch=10",
+              "--set", "train.batch_size=32",
+              "--set", "walk.n_hops=100",
+              "--set", "walk.batch_walkers=512",
+              "--set", "walk.colisten_copies=1"])
+    emb = np.load(os.path.join(run_dir, "shco", "emb.npy"))
+    assert emb.shape == (300, 128)
+    # the augmented-graph nbhds artifact landed under the suffixed path
+    assert glob_one(cli_dataset, "neighborhoods.colisten1.npz")
+
+
+def glob_one(dirname, name):
+    return os.path.isfile(os.path.join(dirname, name))
