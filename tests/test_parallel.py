@@ -419,3 +419,31 @@ def test_hard_negative_int32_extent_guard():
     _check_hard_negative_extent(21_000_000, 100)        # just under 2^31
     with pytest.raises(ValueError, match="int32"):
         _check_hard_negative_extent(22_000_000, 100)    # past 2^31
+
+
+def test_sharded_trainer_midepoch_resume(tmp_path):
+    """Fused chunks can end mid-epoch: the exact batches_done must
+    round-trip through checkpoints (epoch-only persistence would replay
+    batches against a farther-along Adam count), and train_epochs must
+    finish at exactly epochs*bpe batches."""
+    mesh = make_mesh(n_dp=4, n_graph=2)
+    feat, nb_w, nb_n, pos = _toy(seed=11)
+    cfg = config_with_overrides(RunConfig(), {
+        "model.in_dim": 32, "model.hidden_dim": 32, "model.out_dim": 16,
+        "train.batch_size": 64, "train.epochs": 2,
+        "train.batches_per_epoch": 5,
+        "train.checkpoint_every_batches": 3})    # 3 does not divide 5
+    tr = ShardedTrainer(mesh, cfg, feat.shape[0], feat, (nb_w, nb_n), pos)
+    tr.train_chunk(3)
+    tr.batches_done = 3
+    tr.epoch = 0
+    path = str(tmp_path / "state.npz")
+    tr.save(path)
+
+    tr2 = ShardedTrainer(mesh, cfg, feat.shape[0], feat, (nb_w, nb_n), pos)
+    assert tr2.load(path)
+    assert tr2.batches_done == 3 and tr2.epoch == 0
+    tr2.train_epochs()
+    assert tr2.batches_done == 10 and tr2.epoch == 2
+    # the optimizer stepped exactly batches_done times
+    assert int(np.asarray(tr2.opt_state[0].count)) == 10
