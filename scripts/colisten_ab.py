@@ -160,6 +160,46 @@ def main() -> None:
                       hit_ks=(10, 100, 500), mrr_k=1000, batch=4096)
         emit(arm, m, {"train_s": round(time.time() - t0, 1)})
 
+    # ---- PageRank control arms: separates "the augmented GRAPH carries
+    # the signal" from "the CONV adds value beyond it" — same PPR kernels
+    # PersPageRank uses (reference baselines.py:107-151), evaluated from
+    # top-1000 knn lists (harness-family instrument)
+    for arm, copies in (("ppr_plain", 0), ("ppr_co1", 1)):
+        if arm in done or (sel is not None and arm not in sel):
+            log(f"skip {arm}")
+            continue
+        import jax.numpy as jnp
+
+        from gcn_song_embeddings_tpu.data.device import (
+            augment_with_colisten,
+        )
+        from gcn_song_embeddings_tpu.evals import metrics as M
+        from gcn_song_embeddings_tpu.ops.ppr import (
+            sample_neighborhood_topt_tables,
+        )
+        from gcn_song_embeddings_tpu.ops.walks import fused_walk_tables
+
+        t0 = time.time()
+        graph_arm = (dg if copies == 0
+                     else augment_with_colisten(dg, train_pos, copies))
+        tables = fused_walk_tables(graph_arm)
+        k, bs = 1000, 2048
+        knn = np.zeros((g.n_items, k), np.int32)
+        key = jax.random.PRNGKey(0)
+        for s_ in range(0, g.n_items, bs):
+            e_ = min(s_ + bs, g.n_items)
+            block = np.full((bs,), e_ - 1, np.int32)
+            block[: e_ - s_] = np.arange(s_, e_, dtype=np.int32)
+            _w, n_ = sample_neighborhood_topt_tables(
+                tables, jnp.asarray(block), 1000, 0.85, k,
+                jax.random.fold_in(key, s_))
+            knn[s_:e_] = np.asarray(n_)[: e_ - s_]
+        m = {f"hit@{K}": M.hit_rate(knn, test_pos, K)
+             for K in (10, 100, 500)}
+        m["mrr@1000"] = M.mrr(knn, test_pos, 1000)
+        emit(arm, m, {"train_s": round(time.time() - t0, 1),
+                      "evaluator": "knn_list"})
+
     for arm, overrides in ARMS:
         if arm in done or (sel is not None and arm not in sel):
             log(f"skip {arm}")
