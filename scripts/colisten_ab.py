@@ -67,6 +67,12 @@ ARMS = [
     ("co1_T10_cur", {"walk.colisten_copies": 1, "model.T": 10,
                      "train.hard_negatives": True,
                      "train.hn_start_epoch": 20}),
+    # --- third wave: can a wider embedding capture the precision the
+    # augmented-walk PPR control shows is in the graph? ---
+    ("co1_T10_wide", {"walk.colisten_copies": 1, "model.T": 10,
+                      "model.hidden_dim": 1024, "model.out_dim": 256}),
+    ("co1_T10_d512", {"walk.colisten_copies": 1, "model.T": 10,
+                      "model.hidden_dim": 1024, "model.out_dim": 512}),
 ]
 
 
