@@ -100,6 +100,16 @@ def main() -> None:
                              "--set", "model.T=10",
                              "--set",
                              f"walk.colisten_copies={args.colisten_copies}"]),
+        # wider variant (hidden 1024 / out 512): best all-round PinSage in
+        # the third-wave A/B (mrr 0.154 vs 0.144 at out 128)
+        ("pinsage_hard_co512",
+         ["--set", "train.epochs=30",
+          "--set", "train.margin=1e-05",
+          "--set", "model.T=10",
+          "--set", "model.hidden_dim=1024",
+          "--set", "model.out_dim=512",
+          "--set",
+          f"walk.colisten_copies={args.colisten_copies}"]),
     )
     for run_name, extra in run_list:
         if os.path.isfile(os.path.join(runs, run_name, "emb.npy")):
