@@ -219,6 +219,10 @@ def cmd_eval(args) -> None:
     models = {
         "Random": Random(),
         "PageRank": PersPageRank(),
+        # framework extension: walk ranking over the colisten-augmented
+        # graph — the most precise ranker on the hard benchmark
+        # (RESULTS.md round-4 walk-vs-conv control)
+        "PageRankCo": PersPageRank(colisten_copies=1),
         "JaccardFast": JaccardFast(),
         "Node2Vec": FastNode2Vec(),
         "TrackTrackCfALS": TrackTrackCF(algo="als"),

@@ -105,17 +105,33 @@ class EmbLoader(EmbeddingModel):
 class PersPageRank(PredictionModel):
     """PPR-at-query-time recommender (reference PersPageRank,
     baselines.py:107-151: same restart walks with n_hops=1000, executed per
-    kNN query).  Runs entirely on device via the walk + top-T kernels."""
+    kNN query).  Runs entirely on device via the walk + top-T kernels.
+
+    colisten_copies > 0 (framework extension, not in the reference)
+    materializes train-positive pairs as pseudo-collections before
+    walking (data/device.augment_with_colisten) — measured the single
+    most PRECISE ranker on the hard benchmark (hit@100 0.662 / mrr 0.194
+    vs 0.411/0.061 plain; RESULTS.md round-4 walk-vs-conv control)."""
 
     def __init__(self, n_hops: int = 1000, alpha: float = 0.85,
-                 seed: int = 0, batch_size: int = 1024):
+                 seed: int = 0, batch_size: int = 1024,
+                 colisten_copies: int = 0):
         self.n_hops = n_hops
         self.alpha = alpha
         self.seed = seed
         self.batch_size = batch_size
+        self.colisten_copies = colisten_copies
 
     def train(self, graph, ids, train_set, test_set, features) -> None:
         self.device_graph = DeviceGraph.from_graph(graph)
+        if self.colisten_copies > 0:
+            from gcn_song_embeddings_tpu.data.device import (
+                augment_with_colisten,
+            )
+
+            self.device_graph = augment_with_colisten(
+                self.device_graph, np.asarray(train_set),
+                self.colisten_copies)
         # extent-joined tables built ONCE (bit-identical chain, 2.2x
         # faster hops); inside the per-batch jit the O(nnz) join would
         # re-run on device every dispatch

@@ -117,3 +117,29 @@ def test_trainer_colisten_cache_isolation(graph, positives, tmp_path):
     # served for the other graph
     with np.load(nbhds_path) as z_plain, np.load(co_path) as z_co:
         assert z_plain["meta"][2] != z_co["meta"][2]
+
+
+def test_perspagerank_colisten_option():
+    """PersPageRank(colisten_copies=1) ranks co-listen partners that share
+    NO playlist (reachable only through the materialized pair)."""
+    import types
+
+    from gcn_song_embeddings_tpu.models.baselines.simple import PersPageRank
+
+    # SongGraph stand-in exposing the CSRs DeviceGraph.from_graph reads
+    g = types.SimpleNamespace(
+        i2c=types.SimpleNamespace(indptr=np.array([0, 1, 2, 3, 4]),
+                                  indices=np.array([0, 0, 1, 1])),
+        c2i=types.SimpleNamespace(indptr=np.array([0, 2, 4]),
+                                  indices=np.array([0, 1, 2, 3])))
+    train_set = np.array([[0, 2]])
+
+    plain = PersPageRank(n_hops=300, batch_size=4)
+    plain.train(g, None, train_set, None, None)
+    _, n = plain.knn(np.array([0]), k=3)
+    assert 2 not in n[0]
+
+    aug = PersPageRank(n_hops=300, batch_size=4, colisten_copies=1)
+    aug.train(g, None, train_set, None, None)
+    _, n = aug.knn(np.array([0]), k=3)
+    assert 2 in n[0] and 1 in n[0]
