@@ -143,3 +143,57 @@ def test_perspagerank_colisten_option():
     aug.train(g, None, train_set, None, None)
     _, n = aug.knn(np.array([0]), k=3)
     assert 2 in n[0] and 1 in n[0]
+
+
+def test_augmentation_matches_naive_oracle_property():
+    """Property test: on random graphs/pairs, the vectorized augmentation
+    equals a naive per-pair edge-list rebuild (sorted adjacency both
+    ways)."""
+    from gcn_song_embeddings_tpu.data.graph import _build_csr
+
+    rng = np.random.default_rng(4)
+    for trial in range(5):
+        n_items = int(rng.integers(3, 40))
+        n_cols = int(rng.integers(1, 12))
+        n_edges = int(rng.integers(0, 60))
+        src = rng.integers(0, n_items, n_edges)
+        dst = rng.integers(0, n_cols, n_edges)
+        g = DeviceGraph.from_arrays(
+            _build_csr(src, dst, n_items).indptr,
+            _build_csr(src, dst, n_items).indices,
+            _build_csr(dst, src, n_cols).indptr,
+            _build_csr(dst, src, n_cols).indices)
+        n_pairs = int(rng.integers(0, 10))
+        pairs = rng.integers(0, n_items, (n_pairs, 2))
+        copies = int(rng.integers(1, 3))
+
+        aug = augment_with_colisten(g, pairs, copies)
+
+        # naive oracle: append one 2-member collection per valid pair copy
+        valid = [tuple(p) for p in pairs if p[0] != p[1]
+                 for _ in range(copies)]
+        o_src = list(src)
+        o_dst = list(dst)
+        c2i_src, c2i_dst = list(dst), list(src)
+        for j, (a, b) in enumerate(valid):
+            c = n_cols + j
+            o_src += [a, b]
+            o_dst += [c, c]
+            c2i_src += [c, c]
+            c2i_dst += [a, b]
+        i2c = _build_csr(np.array(o_src, np.int64),
+                         np.array(o_dst, np.int64), n_items)
+        np.testing.assert_array_equal(np.asarray(aug.i2c_indptr),
+                                      i2c.indptr)
+        np.testing.assert_array_equal(np.asarray(aug.i2c_indices),
+                                      i2c.indices)
+        # collection side: same members per collection (order within the
+        # appended rows is (a, b) pair order, oracle via sets)
+        ap_, ai = np.asarray(aug.c2i_indptr), np.asarray(aug.c2i_indices)
+        oc = _build_csr(np.array(c2i_src, np.int64),
+                        np.array(c2i_dst, np.int64), n_cols + len(valid))
+        assert aug.n_cols == n_cols + len(valid)
+        for c in range(aug.n_cols):
+            got = sorted(ai[ap_[c]:ap_[c + 1]].tolist())
+            want = sorted(oc.indices[oc.indptr[c]:oc.indptr[c + 1]].tolist())
+            assert got == want, (trial, c)
