@@ -167,7 +167,8 @@ def flopbound_matmul_flops(n_tracks: int) -> int:
     return 3 * total                                           # fwd + bwd
 
 
-def measure_flopbound(features, nb_w, nb_n, positives):
+def measure_flopbound(features, nb_w, nb_n, positives,
+                      dtype: str = "float32"):
     """Seconds per train batch at the reference grid's LARGE shape
     (n_layers=4, hidden 1024, out 256 — /root/reference/dashboard.py:
     136-137, grid_search_results/grid_search2.json) with B=4096 and the
@@ -182,10 +183,11 @@ def measure_flopbound(features, nb_w, nb_n, positives):
     from gcn_song_embeddings_tpu.train import trainer as trn
     from gcn_song_embeddings_tpu.models.pinsage import init_pinsage
 
-    cfg = config_with_overrides(RunConfig(run_name="bench_fb"), {
+    cfg = config_with_overrides(RunConfig(run_name=f"bench_fb_{dtype}"), {
         "model.in_dim": FEAT_DIM, "model.hidden_dim": FB_HIDDEN,
         "model.out_dim": FB_OUT, "model.n_layers": FB_LAYERS, "model.T": T,
         "train.batch_size": FB_BATCH, "train.fullgraph_forward": "on",
+        "train.dtype": dtype,
     })
     params = init_pinsage(jax.random.PRNGKey(0), FB_LAYERS, FEAT_DIM,
                           FB_HIDDEN, FB_OUT)

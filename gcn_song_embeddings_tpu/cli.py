@@ -179,7 +179,7 @@ def cmd_train(args) -> None:
         state_path = os.path.join(run_dir, "state.npz")
         if not args.no_resume:
             trainer.load(state_path)
-        trainer.train_epochs(verbose=True)
+        trainer.train_epochs(verbose=True, save_path=state_path)
         trainer.save(state_path)
         path = os.path.join(run_dir, "emb.npy")
         np.save(path, trainer.embed())

@@ -533,3 +533,38 @@ def make_synthetic_dataset_large(
                                        dtype=np.float32)
     np.save(os.path.join(out_dir, "features.npy"), feats)
     return out_dir
+
+
+def ensure_hard_dataset(ds_path: str, n_tracks: int = 20_000,
+                        n_collections: int = 4_000,
+                        n_positives: int = 60_000, seed: int = 0,
+                        log=print) -> str:
+    """Create-or-reuse a hard-benchmark dataset with the provenance guard.
+
+    A complete dataset already in `ds_path` must carry the 'hard'
+    dataset_kind.txt marker (a missing marker means unknown provenance —
+    refused), so a reused work dir can never be silently evaluated and
+    published as hard-benchmark results (ADVICE r3).  The single guard
+    implementation shared by every benchmark script."""
+    import os
+
+    marker = os.path.join(ds_path, "dataset_kind.txt")
+    complete = all(os.path.isfile(os.path.join(ds_path, f)) for f in
+                   ("graph.json", "positives.json", "features.npy"))
+    if complete:
+        prev = (open(marker).read().strip()
+                if os.path.isfile(marker) else "unknown")
+        if prev != "hard":
+            raise RuntimeError(
+                f"{ds_path} holds a {prev!r} dataset but a HARD-benchmark "
+                f"dataset was requested; use a different work dir "
+                f"(refusing to mislabel results)")
+        log(f"reusing dataset in {ds_path}")
+        return ds_path
+    log("synthesizing hard dataset ...")
+    make_hard_dataset(ds_path, n_tracks=n_tracks,
+                      n_collections=n_collections,
+                      n_positives=n_positives, seed=seed)
+    with open(marker, "w") as f:
+        f.write("hard")
+    return ds_path

@@ -96,16 +96,17 @@ def quantize_rows_pallas(emb: jnp.ndarray, seed: int = 0,
     return vals[:n], scales[:n, 0]
 
 
-@partial(jax.jit, static_argnames=("k",))
-def int8_topk(values: jnp.ndarray, scales: jnp.ndarray,
-              query: jnp.ndarray, k: int
-              ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Top-k of q . dequant(row) over an int8 table.
+def int8_scores(values: jnp.ndarray, scales: jnp.ndarray,
+                query: jnp.ndarray) -> jnp.ndarray:
+    """[B, N] similarity scores under the serving index's int8 math.
 
     values: [N, d] int8; scales: [N] f32; query: [B, d] f32 (pre-normalized
     rows for cosine semantics).  The contraction runs int8 x int8 on the
     MXU with int32 accumulation; query quantization error is shared by all
-    candidates so ranking is unaffected by the query's own scale.
+    candidates so ranking is unaffected by the query's own scale.  This is
+    THE int8 scoring function — int8_topk and the quality evaluator
+    (scripts/serve_int8_quality.py) both call it, so published quality
+    numbers always certify the exact math the serving path executes.
     """
     q_absmax = jnp.max(jnp.abs(query), axis=1, keepdims=True)
     q_scale = jnp.where(q_absmax == 0, 1.0, q_absmax / 127.0)
@@ -114,5 +115,12 @@ def int8_topk(values: jnp.ndarray, scales: jnp.ndarray,
         q_int, values,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)               # [B, N]
-    sims = acc.astype(jnp.float32) * scales[None, :] * q_scale
-    return jax.lax.top_k(sims, k)
+    return acc.astype(jnp.float32) * scales[None, :] * q_scale
+
+
+@partial(jax.jit, static_argnames=("k",))
+def int8_topk(values: jnp.ndarray, scales: jnp.ndarray,
+              query: jnp.ndarray, k: int
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k of q . dequant(row) over an int8 table (see int8_scores)."""
+    return jax.lax.top_k(int8_scores(values, scales, query), k)

@@ -139,7 +139,6 @@ class ShardedTrainer:
         self.opt_state = jax.device_put(self.tx.init(params), replicate)
         self.epoch = 0          # derived: batches_done // batches_per_epoch
         self.batches_done = 0   # exact progress (chunks may end mid-epoch)
-        self._chunks_run = 0
         self._step_fn = self._build_step()
         self._embed_fn = self._build_embed()
 
@@ -308,28 +307,33 @@ class ShardedTrainer:
                     chunk_index: int | None = None) -> np.ndarray:
         """Run `n_batches` sharded train steps; returns per-batch losses.
 
-        `chunk_index` defaults to an internal call counter so repeated
-        calls draw FRESH batches — callers that looped
-        `train_chunk(n)` with the old default of 0 silently replayed the
-        identical random batch sequence every call."""
+        `chunk_index` (the RNG key fold) defaults to the GLOBAL batch
+        index at chunk start — `batches_done` is advanced here and
+        persisted in checkpoints, so repeated calls draw fresh batches
+        AND a resumed run continues the continuous run's key sequence
+        instead of replaying batches it already consumed (same scheme as
+        PinSageTrainer.train)."""
         if chunk_index is None:
-            chunk_index = self._chunks_run
-        self._chunks_run += 1
+            chunk_index = self.batches_done
         base = jax.random.PRNGKey(self.cfg.train.seed + 1)
-        key = jax.random.fold_in(jax.random.fold_in(base, self.epoch),
-                                 chunk_index)
+        key = jax.random.fold_in(base, chunk_index)
         keys = jax.random.split(key, n_batches)
         self.params, self.opt_state, losses = self._step_fn(
             self.params, self.opt_state, self.features, self.nbhd_packed,
             self.nbhd_n, self.positives, keys)
+        self.batches_done += n_batches
+        self.epoch = self.batches_done // self.cfg.train.batches_per_epoch
         return np.asarray(losses)
 
     def train_epochs(self, epochs: Optional[int] = None,
-                     verbose: bool = False) -> None:
+                     verbose: bool = False,
+                     save_path: str | None = None) -> None:
         """Multi-epoch dispatch fusion, mirroring PinSageTrainer.train:
         chunks of `checkpoint_every_batches` batches span epoch boundaries
         (the LR schedule is step-indexed), so the wall is ~total/chunk
-        dispatches instead of one per epoch."""
+        dispatches instead of one per epoch.  `save_path` checkpoints
+        after every chunk (the knob's documented fault-tolerance cadence;
+        without it the caller owns persistence)."""
         tcfg = self.cfg.train
         epochs = epochs if epochs is not None else tcfg.epochs
         bpe = tcfg.batches_per_epoch
@@ -341,8 +345,8 @@ class ShardedTrainer:
             t0 = time.time()
             n = min(chunk, total - self.batches_done)
             losses = self.train_chunk(n)
-            self.batches_done += n
-            self.epoch = self.batches_done // bpe
+            if save_path is not None:
+                self.save(save_path)
             if verbose:
                 print(f"epoch {self.epoch}/{epochs}: "
                       f"loss={losses[-1]:.6f} ({time.time() - t0:.2f}s)")

@@ -96,7 +96,7 @@ def main() -> None:
         RunConfig,
         config_with_overrides,
     )
-    from gcn_song_embeddings_tpu.data import SongGraph, make_hard_dataset
+    from gcn_song_embeddings_tpu.data import SongGraph
     from gcn_song_embeddings_tpu.data.device import DeviceGraph
     from gcn_song_embeddings_tpu.evals.device_eval import rank_eval
     from gcn_song_embeddings_tpu.train.trainer import PinSageTrainer
@@ -104,25 +104,13 @@ def main() -> None:
     log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
     log("devices:", jax.devices())
 
+    from gcn_song_embeddings_tpu.data.synth import ensure_hard_dataset
+
     work = args.work_dir
-    ds_path = os.path.join(work, "ds")
-    marker = os.path.join(ds_path, "dataset_kind.txt")
-    complete = all(os.path.isfile(os.path.join(ds_path, f)) for f in
-                   ("graph.json", "positives.json", "features.npy"))
-    if complete:
-        prev = (open(marker).read().strip()
-                if os.path.isfile(marker) else "unknown")
-        if prev != "hard":
-            raise SystemExit(f"work dir {ds_path} holds a {prev!r} "
-                             f"dataset; use a different --work-dir")
-        log(f"reusing dataset in {ds_path}")
-    else:
-        log("synthesizing hard dataset ...")
-        make_hard_dataset(ds_path, n_tracks=args.tracks,
-                          n_collections=args.collections,
-                          n_positives=args.positives, seed=0)
-        with open(marker, "w") as f:
-            f.write("hard")
+    ds_path = ensure_hard_dataset(
+        os.path.join(work, "ds"), n_tracks=args.tracks,
+        n_collections=args.collections, n_positives=args.positives,
+        seed=0, log=log)
 
     g = SongGraph(ds_path,
                   features_file=os.path.join(ds_path, "features.npy"))

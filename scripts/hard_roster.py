@@ -44,7 +44,10 @@ def main() -> None:
     args = ap.parse_args()
 
     from gcn_song_embeddings_tpu import cli
-    from gcn_song_embeddings_tpu.data import make_hard_dataset
+
+    if args.colisten_copies < 1:
+        raise SystemExit("--colisten-copies must be >= 1: the *_co roster "
+                         "rows are defined as co-listen-augmented runs")
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
     work = args.work_dir
@@ -52,26 +55,11 @@ def main() -> None:
     runs = os.path.join(work, "runs")
     os.makedirs(work, exist_ok=True)
 
-    marker = os.path.join(ds, "dataset_kind.txt")
-    if not all(os.path.isfile(os.path.join(ds, f)) for f in
-               ("graph.json", "positives.json", "features.npy")):
-        log("synthesizing hard dataset ...")
-        make_hard_dataset(ds, n_tracks=args.tracks,
-                          n_collections=args.collections,
-                          n_positives=args.positives, seed=0)
-        with open(marker, "w") as f:
-            f.write("hard")
-    else:
-        # refuse to publish a mislabeled roster: a reused work dir must
-        # carry the hard marker (missing marker = unknown, also refused)
-        prev = (open(marker).read().strip()
-                if os.path.isfile(marker) else "unknown")
-        if prev != "hard":
-            raise SystemExit(
-                f"work dir {ds} holds a {prev!r} dataset but this script "
-                f"publishes HARD-benchmark rosters; use a different "
-                f"--work-dir")
-        log(f"reusing dataset in {ds}")
+    from gcn_song_embeddings_tpu.data.synth import ensure_hard_dataset
+
+    ensure_hard_dataset(ds, n_tracks=args.tracks,
+                        n_collections=args.collections,
+                        n_positives=args.positives, seed=0, log=log)
 
     base_overrides = [
         "--set", f"train.epochs={args.epochs}",
@@ -82,6 +70,10 @@ def main() -> None:
     # pinsage_hard_tuned = the hard-grid winner's schedule
     # (results/grid_search_hard.json: 30 epochs, margin 1e-5, lr 1e-3,
     # easy negatives, 2 layers) — the roster's headline PinSage row
+    # non-default copies get a run-name suffix so variants never reuse a
+    # differently-configured run's checkpoint/emb (run dirs key resume)
+    co_suffix = ("" if args.colisten_copies == 1
+                 else f"_x{args.colisten_copies}")
     run_list = (
         ("pinsage_hard", []),
         ("pinsage_hard_hn", ["--set", "train.hard_negatives=true"]),
@@ -93,16 +85,15 @@ def main() -> None:
         # fan-out the controlled matrix measured best
         # (results/colisten_ab.jsonl: co1_T10 hit@100 0.6176 vs ALS
         # 0.4765 on the identical split, tie-fair evaluator)
-        ("pinsage_hard_co" + ("" if args.colisten_copies == 1
-                              else f"_x{args.colisten_copies}"),
+        ("pinsage_hard_co" + co_suffix,
          ["--set", "train.epochs=30",
-                             "--set", "train.margin=1e-05",
-                             "--set", "model.T=10",
-                             "--set",
-                             f"walk.colisten_copies={args.colisten_copies}"]),
+          "--set", "train.margin=1e-05",
+          "--set", "model.T=10",
+          "--set",
+          f"walk.colisten_copies={args.colisten_copies}"]),
         # wider variant (hidden 1024 / out 512): best all-round PinSage in
         # the third-wave A/B (mrr 0.154 vs 0.144 at out 128)
-        ("pinsage_hard_co512",
+        ("pinsage_hard_co512" + co_suffix,
          ["--set", "train.epochs=30",
           "--set", "train.margin=1e-05",
           "--set", "model.T=10",

@@ -42,7 +42,10 @@ def int8_rank_eval(emb, test_pairs, hit_ks=(10, 100, 500), mrr_k=1000,
     import jax.numpy as jnp
     import numpy as np
 
-    from gcn_song_embeddings_tpu.ops.quantize import quantize_rows
+    from gcn_song_embeddings_tpu.ops.quantize import (
+        int8_scores,
+        quantize_rows,
+    )
 
     emb = np.asarray(emb, np.float32)
     unit = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
@@ -53,14 +56,8 @@ def int8_rank_eval(emb, test_pairs, hit_ks=(10, 100, 500), mrr_k=1000,
 
     @jax.jit
     def rank_block(q_ids, p_ids):
-        q = jnp.asarray(unit)[q_ids]
-        q_absmax = jnp.max(jnp.abs(q), axis=1, keepdims=True)
-        q_scale = jnp.where(q_absmax == 0, 1.0, q_absmax / 127.0)
-        q_int = jnp.clip(jnp.round(q / q_scale), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            q_int, vals, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        sims = acc.astype(jnp.float32) * scales[None, :] * q_scale
+        # THE serving scorer (ops/quantize.int8_scores) — not a copy
+        sims = int8_scores(vals, scales, jnp.asarray(unit)[q_ids])
         # exclude self (rank among OTHER items, like the f32 evaluator)
         rows = jnp.arange(q_ids.shape[0])
         sims = sims.at[rows, q_ids].set(-jnp.inf)
@@ -102,7 +99,7 @@ def main() -> None:
         RunConfig,
         config_with_overrides,
     )
-    from gcn_song_embeddings_tpu.data import SongGraph, make_hard_dataset
+    from gcn_song_embeddings_tpu.data import SongGraph
     from gcn_song_embeddings_tpu.data.device import DeviceGraph
     from gcn_song_embeddings_tpu.evals.device_eval import rank_eval
     from gcn_song_embeddings_tpu.train.trainer import PinSageTrainer
@@ -110,23 +107,12 @@ def main() -> None:
     log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
     log("devices:", jax.devices())
 
-    ds_path = os.path.join(args.work_dir, "ds")
-    marker = os.path.join(ds_path, "dataset_kind.txt")
-    complete = all(os.path.isfile(os.path.join(ds_path, f)) for f in
-                   ("graph.json", "positives.json", "features.npy"))
-    if complete:
-        prev = (open(marker).read().strip()
-                if os.path.isfile(marker) else "unknown")
-        if prev != "hard":
-            raise SystemExit(f"work dir holds a {prev!r} dataset; "
-                             f"use a different --work-dir")
-        log(f"reusing dataset in {ds_path}")
-    else:
-        make_hard_dataset(ds_path, n_tracks=args.tracks,
-                          n_collections=args.collections,
-                          n_positives=args.positives, seed=0)
-        with open(marker, "w") as f:
-            f.write("hard")
+    from gcn_song_embeddings_tpu.data.synth import ensure_hard_dataset
+
+    ds_path = ensure_hard_dataset(
+        os.path.join(args.work_dir, "ds"), n_tracks=args.tracks,
+        n_collections=args.collections, n_positives=args.positives,
+        seed=0, log=log)
 
     g = SongGraph(ds_path,
                   features_file=os.path.join(ds_path, "features.npy"))
