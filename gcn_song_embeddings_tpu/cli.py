@@ -247,6 +247,15 @@ def cmd_eval(args) -> None:
     for run_name in args.pinsage_runs or []:
         emb_path = os.path.join(args.run_dir, run_name, "emb.npy")
         models[f"PinSage:{run_name}"] = EmbLoader(emb_path)
+    for run_name in getattr(args, "hybrid_runs", None) or []:
+        # walk-precision + embedding-recall hybrid over that run's
+        # embeddings (models/baselines/simple.WalkEmbedHybrid)
+        from gcn_song_embeddings_tpu.models.baselines import (
+            WalkEmbedHybrid,
+        )
+
+        emb_path = os.path.join(args.run_dir, run_name, "emb.npy")
+        models[f"Hybrid:{run_name}"] = WalkEmbedHybrid(emb_path)
 
     if args.models:
         unknown = set(args.models) - set(models)
@@ -354,6 +363,10 @@ def main(argv=None) -> None:
             sp.add_argument("--eval-dir", default=None)
             sp.add_argument("--k", type=int, default=1000)
             sp.add_argument("--pinsage-runs", nargs="*", default=None)
+            sp.add_argument("--hybrid-runs", nargs="*", default=None,
+                            help="add Hybrid:<run> rows: walk-precision "
+                                 "+ embedding-recall over that run's "
+                                 "emb.npy (WalkEmbedHybrid)")
             sp.add_argument("--models", nargs="*", default=None,
                             help="subset of baseline names to evaluate")
         if verb == "grid":

@@ -7,6 +7,7 @@ from gcn_song_embeddings_tpu.models.baselines.simple import (  # noqa: F401
     EmbLoader,
     PersPageRank,
     JaccardFast,
+    WalkEmbedHybrid,
 )
 from gcn_song_embeddings_tpu.models.baselines.mf import (  # noqa: F401
     TrackTrackCF,

@@ -162,6 +162,79 @@ class PersPageRank(PredictionModel):
         return w_out, n_out
 
 
+class WalkEmbedHybrid(PredictionModel):
+    """Walk-precision + embedding-recall hybrid (framework extension; no
+    reference counterpart).
+
+    The round-4 walk-vs-conv control (RESULTS.md) showed the two model
+    families split the hard benchmark: query-time PPR over the
+    colisten-augmented graph is the most PRECISE ranker (hit@10/100,
+    MRR), while the PinSage embedding generalizes much further down the
+    list (hit@500, coverage).  This model takes both in one ranking: each
+    top-k list starts with the walk's nonzero-visit neighbors in walk
+    order and is completed by embedding-cosine rank, skipping items the
+    walk already placed.
+
+    `emb_source` is an embedding matrix, an `emb.npy` path, or a run
+    directory (EmbLoader semantics)."""
+
+    def __init__(self, emb_source, n_hops: int = 1000, alpha: float = 0.85,
+                 seed: int = 0, batch_size: int = 1024,
+                 colisten_copies: int = 1):
+        self.walker = PersPageRank(n_hops=n_hops, alpha=alpha, seed=seed,
+                                   batch_size=batch_size,
+                                   colisten_copies=colisten_copies)
+        self.emb_source = emb_source
+
+    def train(self, graph, ids, train_set, test_set, features) -> None:
+        self.walker.train(graph, ids, train_set, test_set, features)
+        if isinstance(self.emb_source, np.ndarray):
+            self.embedding = self.emb_source
+        else:
+            loader = EmbLoader(self.emb_source)
+            loader.train(graph, ids, train_set, test_set, features)
+            self.embedding = loader.embedding
+
+    def knn(self, nodeset, k):
+        walk_w, walk_n = self.walker.knn(nodeset, k)
+        emb_w, emb_n = knn_from_emb(self.embedding,
+                                    np.asarray(nodeset), k)
+        return merge_ranked_lists(walk_w, walk_n, np.asarray(emb_w),
+                                  np.asarray(emb_n))
+
+
+def merge_ranked_lists(head_w: np.ndarray, head_n: np.ndarray,
+                       tail_w: np.ndarray, tail_n: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Per row: keep `head` entries with weight > 0 in order, then fill
+    with `tail` entries not already present.  Head weights are offset
+    above the tail's range so downstream consumers that re-sort by weight
+    preserve the merged ORDER (scores are ordinal here, like the
+    reference's PPR visit probabilities)."""
+    B, k = head_n.shape
+    out_w = np.empty_like(tail_w)
+    out_n = np.empty_like(tail_n)
+    # head scores shifted above every tail score
+    shift = float(np.abs(tail_w).max()) + 1.0 if tail_w.size else 1.0
+    for i in range(B):
+        keep = head_w[i] > 0
+        h_n = head_n[i][keep]
+        seen = set(h_n.tolist())
+        t_mask = np.fromiter((n not in seen for n in tail_n[i]),
+                             count=k, dtype=bool)
+        t_n = tail_n[i][t_mask][: k - len(h_n)]
+        t_w = tail_w[i][t_mask][: k - len(h_n)]
+        out_n[i, :len(h_n)] = h_n
+        out_w[i, :len(h_n)] = head_w[i][keep] + shift
+        out_n[i, len(h_n):len(h_n) + len(t_n)] = t_n
+        out_w[i, len(h_n):len(h_n) + len(t_n)] = t_w
+        fill = len(h_n) + len(t_n)
+        if fill < k:                       # degenerate tiny catalogs
+            out_n[i, fill:] = t_n[-1] if len(t_n) else h_n[-1]
+            out_w[i, fill:] = -np.inf
+    return out_w, out_n
+
+
 class JaccardFast(PredictionModel):
     """Jaccard similarity over playlist membership (reference JaccardFast,
     baselines.py:194-220): intersections = C^T C via sparse SpGEMM,

@@ -114,7 +114,8 @@ def main() -> None:
     log("evaluating full roster ...")
     cli.main(["eval", "--dataset", ds, "--run-dir", runs,
               "--eval-dir", eval_dir,
-              "--pinsage-runs"] + [r for r, _ in run_list])
+              "--pinsage-runs"] + [r for r, _ in run_list]
+             + ["--hybrid-runs", "pinsage_hard_co512" + co_suffix])
 
     os.makedirs(os.path.join(REPO, "results"), exist_ok=True)
     for src, dst in (("results_accuracy.csv",

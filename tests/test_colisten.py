@@ -197,3 +197,37 @@ def test_augmentation_matches_naive_oracle_property():
             got = sorted(ai[ap_[c]:ap_[c + 1]].tolist())
             want = sorted(oc.indices[oc.indptr[c]:oc.indptr[c + 1]].tolist())
             assert got == want, (trial, c)
+
+
+def test_walk_embed_hybrid(graph, positives):
+    """Hybrid lists start with the walk's nonzero-visit neighbors and are
+    completed by embedding rank without duplicates."""
+    from gcn_song_embeddings_tpu.models.baselines.simple import (
+        WalkEmbedHybrid,
+        merge_ranked_lists,
+    )
+
+    tr = positives[: len(positives) // 2]
+    m = WalkEmbedHybrid(graph.features, n_hops=200, batch_size=64,
+                        colisten_copies=1)
+    m.train(graph, graph.track_ids, tr, None, graph.features)
+    k = 20
+    qs = np.arange(8)
+    w, n = m.knn(qs, k)
+    walk_w, walk_n = m.walker.knn(qs, k)
+    for i in range(len(qs)):
+        row = n[i]
+        assert len(set(row.tolist())) == k          # no duplicates
+        head = walk_n[i][walk_w[i] > 0][:k]
+        np.testing.assert_array_equal(row[: len(head)], head)
+        # merged weights preserve order under a re-sort
+        assert (np.diff(w[i][np.isfinite(w[i])]) <= 1e-6).all()
+
+    # merge helper unit case: head exhausts, tail fills, dedup holds
+    hw = np.array([[0.5, 0.2, 0.0]])
+    hn = np.array([[3, 1, 0]])
+    tw = np.array([[0.9, 0.8, 0.7]])
+    tn = np.array([[1, 4, 5]])
+    mw, mn = merge_ranked_lists(hw, hn, tw, tn)
+    np.testing.assert_array_equal(mn[0], [3, 1, 4])
+    assert mw[0][0] > mw[0][1] > mw[0][2]
