@@ -196,11 +196,18 @@ class WalkEmbedHybrid(PredictionModel):
             self.embedding = loader.embedding
 
     def knn(self, nodeset, k):
+        from gcn_song_embeddings_tpu.ops.merge import merge_topk
+
         walk_w, walk_n = self.walker.knn(nodeset, k)
         emb_w, emb_n = knn_from_emb(self.embedding,
                                     np.asarray(nodeset), k)
-        return merge_ranked_lists(walk_w, walk_n, np.asarray(emb_w),
-                                  np.asarray(emb_n))
+        # device-side sort-based merge (ops/merge.py) — the per-row
+        # Python set-merge this replaces cost 40.9 s per 20k queries at
+        # k=1000 (round-4 roster CSV); merge_ranked_lists below is kept
+        # as the CI oracle
+        w, n = merge_topk(jnp.asarray(walk_w), jnp.asarray(walk_n),
+                          jnp.asarray(emb_w), jnp.asarray(emb_n))
+        return np.asarray(w), np.asarray(n)
 
 
 def merge_ranked_lists(head_w: np.ndarray, head_n: np.ndarray,
@@ -210,10 +217,18 @@ def merge_ranked_lists(head_w: np.ndarray, head_n: np.ndarray,
     with `tail` entries not already present.  Head weights are offset
     above the tail's range so downstream consumers that re-sort by weight
     preserve the merged ORDER (scores are ordinal here, like the
-    reference's PPR visit probabilities)."""
-    B, k = head_n.shape
-    out_w = np.empty_like(tail_w)
-    out_n = np.empty_like(tail_n)
+    reference's PPR visit probabilities).
+
+    This is the readable numpy oracle for ops/merge.merge_topk (the
+    device kernel production paths use); the CI test pins the two
+    together.  Head and tail widths may differ (knn_from_emb clamps its
+    k to n-1): the output is max(head_k, tail_k) wide, short rows filled
+    with the last placed node at weight -inf."""
+    B, head_k = head_n.shape
+    tail_k = tail_n.shape[1]
+    k = max(head_k, tail_k)
+    out_w = np.full((B, k), -np.inf, dtype=np.float32)
+    out_n = np.empty((B, k), dtype=np.int32)
     # head scores shifted above every tail score
     shift = float(np.abs(tail_w).max()) + 1.0 if tail_w.size else 1.0
     for i in range(B):
@@ -221,7 +236,7 @@ def merge_ranked_lists(head_w: np.ndarray, head_n: np.ndarray,
         h_n = head_n[i][keep]
         seen = set(h_n.tolist())
         t_mask = np.fromiter((n not in seen for n in tail_n[i]),
-                             count=k, dtype=bool)
+                             count=tail_k, dtype=bool)
         t_n = tail_n[i][t_mask][: k - len(h_n)]
         t_w = tail_w[i][t_mask][: k - len(h_n)]
         out_n[i, :len(h_n)] = h_n
@@ -231,7 +246,6 @@ def merge_ranked_lists(head_w: np.ndarray, head_n: np.ndarray,
         fill = len(h_n) + len(t_n)
         if fill < k:                       # degenerate tiny catalogs
             out_n[i, fill:] = t_n[-1] if len(t_n) else h_n[-1]
-            out_w[i, fill:] = -np.inf
     return out_w, out_n
 
 
