@@ -55,6 +55,52 @@ def _query_topk(unit_emb: jnp.ndarray, row: jnp.ndarray, k: int):
     return jax.lax.top_k(sims, k + 1)
 
 
+@partial(jax.jit, static_argnames=("n_hops", "k", "n_chains"))
+def _hybrid_topk_batch(tables, unit_emb: jnp.ndarray, rows: jnp.ndarray,
+                       key, n_hops: int, alpha: float, k: int,
+                       n_chains: int):
+    """[B] query rows -> hybrid (walk-head, embedding-tail) top-k, all on
+    device in ONE dispatch: restart walks over the (colisten-augmented)
+    graph -> visit-count top-k, cosine top-k with the self masked, then
+    the sort-based merge (ops/merge.py).  This is the serving form of
+    WalkEmbedHybrid — the roster winner on every metric (RESULTS.md
+    round 4) — as a deployable device kernel."""
+    from gcn_song_embeddings_tpu.ops.merge import merge_topk
+    from gcn_song_embeddings_tpu.ops.ppr import visit_counts_topt
+    from gcn_song_embeddings_tpu.ops.walks import walks_from_fused_tables
+
+    trace = walks_from_fused_tables(tables, rows, n_hops, alpha, key,
+                                    n_chains=n_chains)
+    head_w, head_n = visit_counts_topt(trace, rows, k)
+    sims = jnp.dot(unit_emb[rows], unit_emb.T,
+                   precision=jax.lax.Precision.HIGHEST)
+    sims = sims.at[jnp.arange(rows.shape[0]), rows].set(-jnp.inf)  # self
+    tail_w, tail_n = jax.lax.top_k(sims, k)
+    return merge_topk(head_w, head_n, tail_w, tail_n)
+
+
+@partial(jax.jit, static_argnames=("n_hops", "k", "n_chains"))
+def _hybrid_topk_batch_int8(tables, q_values, q_scales, q: jnp.ndarray,
+                            rows: jnp.ndarray, key, n_hops: int,
+                            alpha: float, k: int, n_chains: int):
+    """_hybrid_topk_batch with the embedding tail scored on the int8
+    table (ops/quantize.int8_scores — the exact serving math the
+    quality artifact certifies).  `q` carries the f32 query rows
+    (gathered host-side, like the embedding-only int8 path)."""
+    from gcn_song_embeddings_tpu.ops.merge import merge_topk
+    from gcn_song_embeddings_tpu.ops.ppr import visit_counts_topt
+    from gcn_song_embeddings_tpu.ops.quantize import int8_scores
+    from gcn_song_embeddings_tpu.ops.walks import walks_from_fused_tables
+
+    trace = walks_from_fused_tables(tables, rows, n_hops, alpha, key,
+                                    n_chains=n_chains)
+    head_w, head_n = visit_counts_topt(trace, rows, k)
+    sims = int8_scores(q_values, q_scales, q)
+    sims = sims.at[jnp.arange(rows.shape[0]), rows].set(-jnp.inf)  # self
+    tail_w, tail_n = jax.lax.top_k(sims, k)
+    return merge_topk(head_w, head_n, tail_w, tail_n)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _query_topk_batch(unit_emb: jnp.ndarray, rows: jnp.ndarray, k: int):
     """[B] query rows -> ([B, k+1], [B, k+1]) cosine top-(k+1).
@@ -223,6 +269,84 @@ class EmbeddingIndex:
         return rows
 
 
+class HybridIndex(EmbeddingIndex):
+    """Device-resident hybrid (walk-head + embedding-tail) kNN index.
+
+    Serves the WalkEmbedHybrid ranker (models/baselines/simple.py) — the
+    round-4 roster winner on all six metrics — online: each batched query
+    runs restart walks over the colisten-augmented graph, cosine top-k
+    over the embedding table, and the sort-based merge in ONE device
+    dispatch (`_hybrid_topk_batch`), so the QueryBatcher coalesces hybrid
+    queries exactly like embedding-only ones.  The reference's query-time
+    PPR capability (/root/reference/baselines.py:107-151) is the walk
+    head here; the reference has no serving path at all.
+
+    `device_graph` is the bipartite graph to walk; pass `train_pairs` +
+    `colisten_copies` >= 1 to materialize co-listen pseudo-collections
+    first (data/device.augment_with_colisten — the augmentation that makes
+    the walk head precise).  `parallel_chains` splits each query's hop
+    budget across lockstep chains: latency drops ~chains-fold (the hop
+    scan shortens) at a slight distribution perturbation (ops/walks.py).
+    """
+
+    def __init__(self, embeddings: np.ndarray, device_graph,
+                 train_pairs: Optional[np.ndarray] = None,
+                 colisten_copies: int = 1,
+                 n_hops: int = 1000, alpha: float = 0.85,
+                 parallel_chains: int = 1, seed: int = 0,
+                 track_ids: Optional[list[str]] = None,
+                 tracks_meta: Optional[dict] = None,
+                 quantized: bool = False, k_cap: int = 128):
+        super().__init__(embeddings, track_ids, tracks_meta,
+                         quantized=quantized, k_cap=k_cap)
+        from gcn_song_embeddings_tpu.data.device import (
+            augment_with_colisten,
+        )
+        from gcn_song_embeddings_tpu.ops.ppr import effective_chains
+        from gcn_song_embeddings_tpu.ops.walks import fused_walk_tables
+
+        if train_pairs is not None and colisten_copies > 0:
+            device_graph = augment_with_colisten(
+                device_graph, np.asarray(train_pairs), colisten_copies)
+        self.tables = fused_walk_tables(device_graph)
+        self.n_hops = n_hops
+        self.alpha = alpha
+        self.n_chains = effective_chains(n_hops, parallel_chains)
+        self._key = jax.random.PRNGKey(seed)
+        self._dispatches = 0
+
+    def knn(self, row: int, k: int = 10) -> list[dict]:
+        # route the single-query path through the batched hybrid kernel
+        # (bucket 1) so walk randomness/merge semantics are identical
+        return self.knn_rows(np.asarray([row]), k)[0]
+
+    def knn_rows(self, rows: np.ndarray, k: int = 10) -> list[list[dict]]:
+        rows = np.asarray(rows)
+        if rows.size == 0:
+            return []
+        if rows.min() < 0 or rows.max() >= self.n:
+            raise IndexError(f"query rows outside [0, {self.n})")
+        rows = rows.astype(np.int32)
+        k = max(min(k, self.k_cap, self.n - 1), 1)
+        b = 1 << (int(rows.size) - 1).bit_length()         # next pow2
+        padded = np.zeros((b,), np.int32)
+        padded[: rows.size] = rows
+        key = jax.random.fold_in(self._key, self._dispatches)
+        self._dispatches += 1
+        if self.quantized:
+            w, n = _hybrid_topk_batch_int8(
+                self.tables, self.q_values, self.q_scales,
+                jnp.asarray(self.unit_host[padded]), jnp.asarray(padded),
+                key, self.n_hops, self.alpha, self.k_cap, self.n_chains)
+        else:
+            w, n = _hybrid_topk_batch(
+                self.tables, self.unit, jnp.asarray(padded), key,
+                self.n_hops, self.alpha, self.k_cap, self.n_chains)
+        w, n = np.asarray(w), np.asarray(n)
+        return [self._format(w[i], n[i], int(rows[i]), k)
+                for i in range(rows.size)]
+
+
 class QueryBatcher:
     """Serializes + coalesces device queries behind ONE dispatcher thread.
 
@@ -378,9 +502,38 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8800)
     ap.add_argument("--int8", action="store_true",
                     help="serve a quantized index (4x less HBM)")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="serve the WalkEmbedHybrid ranker: walk head "
+                         "over the dataset graph + embedding tail, "
+                         "merged on device (requires --dataset)")
+    ap.add_argument("--colisten", type=int, default=1,
+                    help="colisten copies for the hybrid walk graph")
+    ap.add_argument("--hops", type=int, default=1000,
+                    help="hybrid walk hops per query")
+    ap.add_argument("--chains", type=int, default=1,
+                    help="split the hybrid hop budget across this many "
+                         "lockstep chains (lower latency, slight "
+                         "distribution perturbation)")
     args = ap.parse_args()
     graph = SongGraph(args.dataset) if args.dataset else None
-    index = EmbeddingIndex.from_run(args.emb, graph, quantized=args.int8)
+    if args.hybrid:
+        import os
+
+        from gcn_song_embeddings_tpu.data.device import DeviceGraph
+
+        if graph is None:
+            ap.error("--hybrid requires --dataset (the graph to walk)")
+        train_pos, _ = graph.load_positives_split(
+            os.path.join(args.dataset, "positives.json"))
+        index = HybridIndex(
+            np.load(args.emb), DeviceGraph.from_graph(graph),
+            train_pairs=train_pos, colisten_copies=args.colisten,
+            n_hops=args.hops, parallel_chains=args.chains,
+            track_ids=graph.track_ids, tracks_meta=graph.tracks,
+            quantized=args.int8)
+    else:
+        index = EmbeddingIndex.from_run(args.emb, graph,
+                                        quantized=args.int8)
     index.knn(0, 10)                       # warm the single-query jit
     index.knn_rows(np.arange(min(2, index.n)), 10)  # warm a batched bucket
     print(f"serving {index.n} tracks on :{args.port}")

@@ -44,18 +44,57 @@ def main() -> None:
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="serve the walk-head + embedding-tail hybrid "
+                         "over a synthetic bipartite graph (round-5 "
+                         "VERDICT item 1)")
+    ap.add_argument("--hops", type=int, default=1000)
+    ap.add_argument("--chains", type=int, default=1,
+                    help="hybrid: split the hop budget across lockstep "
+                         "chains (latency knob)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (the axon sitecustomize "
+                         "overrides JAX_PLATFORMS, so an env var is not "
+                         "enough)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
-    from gcn_song_embeddings_tpu.serve import EmbeddingIndex, serve
+    from gcn_song_embeddings_tpu.serve import (
+        EmbeddingIndex,
+        HybridIndex,
+        serve,
+    )
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
     log("devices:", jax.devices())
     rng = np.random.default_rng(0)
     emb = rng.normal(size=(args.tracks, args.dim)).astype(np.float32)
-    index = EmbeddingIndex(emb, quantized=args.int8)
+    if args.hybrid:
+        # synthetic bipartite graph + co-listen pairs at catalog scale
+        # (CSR arrays directly — no JSON round trip at 1M)
+        from gcn_song_embeddings_tpu.data.device import DeviceGraph
+        from gcn_song_embeddings_tpu.data.graph import _build_csr
+
+        n_cols = max(args.tracks // 4, 1)
+        deg = 8
+        src = np.repeat(np.arange(args.tracks, dtype=np.int64), deg)
+        dst = rng.integers(0, n_cols, size=src.size)
+        i2c = _build_csr(src, dst, args.tracks)
+        c2i = _build_csr(dst, src, n_cols)
+        dg = DeviceGraph.from_arrays(i2c.indptr, i2c.indices,
+                                     c2i.indptr, c2i.indices)
+        pairs = rng.integers(0, args.tracks,
+                             size=(args.tracks // 2, 2)).astype(np.int64)
+        index = HybridIndex(emb, dg, train_pairs=pairs, colisten_copies=1,
+                            n_hops=args.hops, parallel_chains=args.chains,
+                            quantized=args.int8)
+    else:
+        index = EmbeddingIndex(emb, quantized=args.int8)
     server = serve(index, port=0)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -140,6 +179,9 @@ def main() -> None:
     server.server_close()
     print(json.dumps({
         "tracks": args.tracks, "dim": args.dim, "int8": args.int8,
+        "hybrid": args.hybrid,
+        **({"hops": args.hops, "chains": args.chains}
+           if args.hybrid else {}),
         "platform": str(jax.devices()[0]),
         "sequential": seq, "concurrent": conc, "batched": bat}))
 
