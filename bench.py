@@ -120,13 +120,26 @@ def measure_tpu(features, nb_w, nb_n, positives) -> float:
     # compile cache (utils/compile_cache.py) — while the second compile
     # (other chunk size) plus warmup is reported separately so
     # round-over-round `compile_s` deltas aren't read as perf changes.
+    # compile_cache provenance (VERDICT r4 item 8): a cache HIT writes no
+    # new entries to the persistent cache dir; a MISS does — recorded so
+    # compile_s values are comparable across rounds at a glance.
+    from gcn_song_embeddings_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    cache_dir = enable_compile_cache()
+    before = set(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else set()
     t0 = time.time()
     run_chunk(CHUNK_SMALL, 0)
     compile_small_s = time.time() - t0
     run_chunk(CHUNK_LARGE, 1)
     compile_s = time.time() - t0
+    after = set(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else set()
+    cache_state = "hit" if after == before else "miss"
     log(f"compile+warmup: {compile_s:.1f}s "
-        f"(first compile {compile_small_s:.1f}s)")
+        f"(first compile {compile_small_s:.1f}s, "
+        f"persistent cache {cache_state}: {len(after - before)} new "
+        f"entries)")
 
     diffs = []
     for i in range(REPS):
@@ -138,7 +151,7 @@ def measure_tpu(features, nb_w, nb_n, positives) -> float:
     per_batch = float(np.median(diffs))
     log(f"tpu per-batch: {per_batch * 1e3:.3f} ms "
         f"(epoch of 500 batches ~ {per_batch * 500:.2f}s)")
-    return per_batch, compile_s
+    return per_batch, compile_s, cache_state
 
 
 FB_BATCH = 4096
@@ -227,6 +240,91 @@ def measure_flopbound(features, nb_w, nb_n, positives,
         f"({100 * tflops / V5E_CEILING_TFLOPS:.0f}% of the no-gather "
         f"ceiling)")
     return per_batch, tflops
+
+
+def measure_gather_rates(widths=(256, 512, 1024), n_idx=N_TRACKS * T,
+                         reps_small=4, reps_large=20):
+    """Measured gather-engine row rate (rows/s) per row width on the
+    default device — the input to the machine-checked roofline (VERDICT
+    r4 item 3).  One jitted scan gathers `n_idx` random rows per rep and
+    reduces them to a scalar (XLA fuses gather+reduce, so the rows never
+    round-trip HBM); per-rep time is the (R_large - R_small) difference,
+    cancelling dispatch latency like every other bench arm.
+
+    The 1024-wide arm is the DESCRIPTOR-RATE control: same row count at
+    2x the bytes.  rate(512)/rate(1024) ~ 1 means the engine is bound by
+    row descriptors, not bytes (the round-3 hypothesis — then wider
+    embeddings are gather-free); ~2 means byte-bound."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial as _partial
+
+    rng = np.random.default_rng(7)
+    idx = jnp.asarray(rng.integers(0, N_TRACKS, n_idx).astype(np.int32))
+
+    @_partial(jax.jit, static_argnames=("reps",))
+    def run(h, idx, reps):
+        def body(acc, i):
+            rows = h[(idx + i) % h.shape[0]]     # vary idx: no hoisting
+            return acc + jnp.sum(rows, dtype=jnp.float32), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(reps, dtype=jnp.int32))
+        return acc
+
+    rates = {}
+    for d in widths:
+        h = jnp.asarray(rng.normal(size=(N_TRACKS, d)).astype(np.float32))
+        float(run(h, idx, reps_small))           # compile both variants
+        float(run(h, idx, reps_large))
+        diffs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            float(run(h, idx, reps_small))
+            t_small = time.time() - t0
+            t0 = time.time()
+            float(run(h, idx, reps_large))
+            t_large = time.time() - t0
+            diffs.append((t_large - t_small) / (reps_large - reps_small))
+        per_rep = float(np.median(diffs))
+        rates[d] = n_idx / per_rep
+        log(f"gather rate d={d}: {rates[d] / 1e6:.1f}M rows/s "
+            f"({rates[d] * d * 4 / 1e9:.0f} GB/s)")
+    return rates
+
+
+# HBM passes over the gathered neighbor rows per train step: the forward
+# gather, the backward's re-gather of the same rows for dQ, and the
+# scatter-accumulate of dh — the model behind RESULTS.md's "~306 MB per
+# forward plus the backward's re-gathers" decomposition, now machine-
+# checked (flopbound_roofline_ratio ~ 1 says measured == predicted).
+GATHER_PASSES = 3
+
+
+def roofline_predict(gather_rates: dict) -> tuple[float, float]:
+    """(predicted gather seconds, predicted matmul seconds) per
+    FLOP-bound train step, from the measured gather row rates and the
+    no-gather MXU ceiling.  Layer input widths at the FB shape:
+    FEAT_DIM then FB_OUT (the fullgraph forward gathers N*T rows of the
+    running h per layer)."""
+    dims = [FEAT_DIM] + [FB_OUT] * (FB_LAYERS - 1)
+    rows = N_TRACKS * T
+
+    def rate(d):
+        if d in gather_rates:
+            return gather_rates[d]
+        # interpolate in rows/s between measured widths
+        ws = sorted(gather_rates)
+        lo = max([w for w in ws if w <= d], default=ws[0])
+        hi = min([w for w in ws if w >= d], default=ws[-1])
+        if lo == hi:
+            return gather_rates[lo]
+        f = (d - lo) / (hi - lo)
+        return gather_rates[lo] * (1 - f) + gather_rates[hi] * f
+
+    gather_s = GATHER_PASSES * sum(rows / rate(d) for d in dims)
+    matmul_s = flopbound_matmul_flops(N_TRACKS) / (V5E_CEILING_TFLOPS * 1e12)
+    return gather_s, matmul_s
 
 
 def measure_torch_baseline(features, nb_w, nb_n, positives) -> float:
@@ -371,9 +469,23 @@ def main() -> None:
                        "last_run": this_record,
                        "config": bench_config}, fh, indent=2)
 
-    per_batch, compile_s = measure_tpu(features, nb_w, nb_n, positives)
+    per_batch, compile_s, cache_state = measure_tpu(features, nb_w, nb_n,
+                                                    positives)
     fb_per_batch, fb_tflops = measure_flopbound(features, nb_w, nb_n,
                                                 positives)
+    # machine-checked roofline (VERDICT r4 item 3): predicted FB step =
+    # measured gather time + ceiling matmul time; ratio ~ 1.0-1.2 says
+    # the 41%-MFU decomposition is arithmetic, not prose
+    gather_rates = measure_gather_rates()
+    gather_pred_s, matmul_pred_s = roofline_predict(gather_rates)
+    roofline_ratio = fb_per_batch / (gather_pred_s + matmul_pred_s)
+    wide_ratio = gather_rates[512] / gather_rates[1024]
+    log(f"roofline: predicted {1e3 * (gather_pred_s + matmul_pred_s):.2f} "
+        f"ms (gather {1e3 * gather_pred_s:.2f} + matmul "
+        f"{1e3 * matmul_pred_s:.2f}) vs measured "
+        f"{1e3 * fb_per_batch:.2f} ms -> ratio {roofline_ratio:.3f}; "
+        f"wide-row control rate512/rate1024 = {wide_ratio:.2f} "
+        f"(~1 = descriptor-bound)")
     value = eps / per_batch
     vs = base_per_batch / per_batch
     print(json.dumps({"metric": "train_edges_per_s_chip",
@@ -381,11 +493,20 @@ def main() -> None:
                       "unit": "edges/s",
                       "vs_baseline": round(vs, 3),
                       "compile_s": round(compile_s, 1),
+                      "compile_cache": cache_state,
                       "warm_step_ms": round(per_batch * 1e3, 4),
                       "flopbound_tflops": round(fb_tflops, 2),
                       "flopbound_mfu_vs_ceiling": round(
                           fb_tflops / V5E_CEILING_TFLOPS, 3),
                       "flopbound_step_ms": round(fb_per_batch * 1e3, 3),
+                      "flopbound_roofline_ratio": round(roofline_ratio, 3),
+                      "roofline_pred_ms": {
+                          "gather": round(gather_pred_s * 1e3, 3),
+                          "matmul": round(matmul_pred_s * 1e3, 3)},
+                      "gather_mrows_per_s": {
+                          str(d): round(r / 1e6, 1)
+                          for d, r in gather_rates.items()},
+                      "gather_wide_row_ratio": round(wide_ratio, 3),
                       "flopbound_config": f"L{FB_LAYERS}-h{FB_HIDDEN}-"
                                           f"o{FB_OUT}-B{FB_BATCH}-"
                                           f"fullgraph"}))

@@ -128,6 +128,23 @@ def apply_colisten_config(graph: DeviceGraph, positives: np.ndarray,
     graph = augment_with_colisten(graph, positives,
                                   walk_cfg.colisten_copies)
     if nbhds_path is not None:
+        from gcn_song_embeddings_tpu.config import WalkConfig
+
         root, ext = os.path.splitext(nbhds_path)
-        nbhds_path = f"{root}.colisten{walk_cfg.colisten_copies}{ext}"
+        # encode walk params that vary between arms sharing a dataset in
+        # the filename (advisor round 4: alternating-T A/B arms otherwise
+        # thrash one cache file — the meta check forces the recompute but
+        # each arm overwrites the other's artifact).  Default-param runs
+        # keep the short stable name.
+        d = WalkConfig()
+        extra = ""
+        if (walk_cfg.t_precompute, walk_cfg.n_hops) != (d.t_precompute,
+                                                        d.n_hops):
+            extra += f".T{walk_cfg.t_precompute}.h{walk_cfg.n_hops}"
+        if walk_cfg.alpha != d.alpha:
+            extra += f".a{walk_cfg.alpha:g}"
+        if walk_cfg.parallel_chains != d.parallel_chains:
+            extra += f".c{walk_cfg.parallel_chains}"
+        nbhds_path = (f"{root}.colisten{walk_cfg.colisten_copies}"
+                      f"{extra}{ext}")
     return graph, nbhds_path

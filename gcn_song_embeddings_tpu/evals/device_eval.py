@@ -92,10 +92,13 @@ def _rank_block(unit_emb: jnp.ndarray, q: jnp.ndarray, pos: jnp.ndarray,
                 + jnp.sum(tied, axis=1)), None
 
     # acc accumulates in half-rank units (2*better + tied) so the scan
-    # carry stays integer; final rank = 1 + acc/2 rounded down
+    # carry stays integer; final rank = 1 + acc/2 EXACTLY (float32 —
+    # flooring the half-rank made odd-sized tie blocks 0.5 rank
+    # optimistic at hit@K boundaries, advisor round 4).  f32 is exact
+    # here up to acc = 2^24, i.e. 8M-item catalogs.
     acc, _ = jax.lax.scan(tile, jnp.zeros(q.shape[0], jnp.int32),
                           jnp.arange(0, n_pad, chunk))
-    return 1 + acc // 2
+    return 1.0 + acc.astype(jnp.float32) * 0.5
 
 
 def rank_eval(embeddings: np.ndarray, test_pairs: np.ndarray,
@@ -109,7 +112,7 @@ def rank_eval(embeddings: np.ndarray, test_pairs: np.ndarray,
     pairs = np.asarray(test_pairs, dtype=np.int32)
     n = pairs.shape[0]
 
-    ranks = np.empty(n, dtype=np.int64)
+    ranks = np.empty(n, dtype=np.float64)
 
     # `blocks_per_call` pair-blocks scanned per dispatch (the per-dispatch
     # tunnel round-trip otherwise dominates at 10^5+ pairs — same

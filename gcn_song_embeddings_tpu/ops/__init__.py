@@ -3,7 +3,9 @@ from gcn_song_embeddings_tpu.ops.walks import (  # noqa: F401
     random_walks_fused,
 )
 from gcn_song_embeddings_tpu.ops.ppr import (  # noqa: F401
-    visit_counts_topt,
-    sample_neighborhood_topt,
+    affected_origins,
     precompute_neighborhoods,
+    refresh_neighborhoods,
+    sample_neighborhood_topt,
+    visit_counts_topt,
 )

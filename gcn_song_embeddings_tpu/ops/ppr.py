@@ -211,6 +211,122 @@ def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
     return all_w, all_n
 
 
+@partial(jax.jit, static_argnames=("n_hops", "T", "batch", "n_blocks",
+                                   "n_chains", "fused"))
+def _neighborhood_sweep_nodeset(graph: DeviceGraph, origins: jnp.ndarray,
+                                n_hops: int, alpha: float, T: int,
+                                key: jax.Array, batch: int, n_blocks: int,
+                                n_chains: int = 1, fused: bool = True):
+    """Like _neighborhood_sweep_blocks, but over an EXPLICIT
+    [batch * n_blocks] origin array instead of a contiguous id range —
+    the incremental refresh sweeps only affected origins."""
+    tables = (fused_walk_tables(graph) if fused else walk_tables(graph))
+
+    def block(_, i):
+        nodeset = jax.lax.dynamic_slice_in_dim(origins, i * batch, batch)
+        bkey = jax.random.fold_in(key, i)
+        if fused:
+            trace = walks_from_fused_tables(tables, nodeset, n_hops,
+                                            alpha, bkey, n_chains=n_chains)
+        else:
+            trace = walks_from_tables(tables, graph, nodeset, n_hops,
+                                      alpha, bkey, n_chains=n_chains)
+        return None, visit_counts_topt(trace, nodeset, T)
+
+    _, (w, n) = jax.lax.scan(block, None,
+                             jnp.arange(n_blocks, dtype=jnp.int32))
+    return w.reshape(n_blocks * batch, T), n.reshape(n_blocks * batch, T)
+
+
+def affected_origins(old_w: np.ndarray, old_n: np.ndarray,
+                     added_pairs: np.ndarray, n_items: int) -> np.ndarray:
+    """Origins whose cached top-T PPR neighborhood can change when the
+    item pairs in `added_pairs` gain edges (colisten pseudo-collections,
+    data/device.augment_with_colisten).
+
+    Walks are origin-local: origin o's visit distribution shifts only if
+    its walks reach a node whose adjacency changed.  With restart prob
+    alpha after every hop, visit mass outside the cached top-T is
+    negligible — that is the premise of the top-T cache itself
+    (reference pinsage_model.py:109-132 stores exactly this truncation) —
+    so the affected set is { o : ({o} ∪ top-T(o)) ∩ endpoints != {} }.
+    Computed with one boolean-LUT gather over the [N, T] node table
+    (no sort/isin at 10^8 elements)."""
+    touched = np.unique(np.asarray(added_pairs, np.int64)[:, :2].ravel())
+    touched = touched[(touched >= 0) & (touched < n_items)]
+    lut = np.zeros(n_items, dtype=bool)
+    lut[touched] = True
+    mask = lut[old_n] & (old_w > 0)
+    aff = np.flatnonzero(mask.any(axis=1))
+    return np.union1d(aff, touched).astype(np.int32)
+
+
+def refresh_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
+                          old_w: np.ndarray, old_n: np.ndarray,
+                          added_pairs: np.ndarray,
+                          path: str | None = None, seed: int = 0,
+                          verbose: bool = False
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Incremental PPR cache refresh after a graph augmentation
+    (round-5 VERDICT item 4; TPU-era extension of the reference's
+    precompute cache, pinsage_model.py:109-132).
+
+    `graph` is the ALREADY-AUGMENTED graph (the added pairs' edges are
+    in it); `old_w`/`old_n` is the artifact swept on the pre-augmentation
+    graph.  Only origins in `affected_origins` are re-walked; everything
+    else keeps its cached rows (their reachable-set distributions are
+    unchanged up to the top-T truncation the cache already makes).  The
+    refreshed artifact is saved under the AUGMENTED graph's cache meta,
+    so a later `precompute_neighborhoods` call on the same augmented
+    graph serves it directly.
+
+    Wins when the update is incremental (new co-listen events trickling
+    into an already-augmented graph: affected fraction ~ O(pairs * T /
+    N)); a from-scratch colisten augmentation touches nearly every
+    origin and degrades gracefully to ~a full sweep.
+    """
+    n_items = graph.n_items
+    T = cfg.t_precompute
+    if old_w.shape != (n_items, T):
+        raise ValueError(f"old artifact shape {old_w.shape} != "
+                         f"({n_items}, {T})")
+    aff = affected_origins(old_w, old_n, added_pairs, n_items)
+    new_w = np.array(old_w, dtype=np.float32, copy=True)
+    new_n = np.array(old_n, dtype=np.int32, copy=True)
+    if verbose:
+        print(f"refresh: {len(aff)}/{n_items} origins affected "
+              f"({100 * len(aff) / max(n_items, 1):.1f}%)")
+
+    if len(aff):
+        bs = cfg.batch_walkers
+        chains = effective_chains(cfg.n_hops, cfg.parallel_chains)
+        n_blocks = max(min(cfg.sweep_blocks, -(-len(aff) // bs)), 1)
+        stride = bs * n_blocks
+        base_key = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                      0x5EF5E5)  # disjoint from the sweep
+
+        def dispatch(start):
+            stop = min(start + stride, len(aff))
+            block = np.full((stride,), aff[stop - 1], dtype=np.int32)
+            block[: stop - start] = aff[start:stop]
+            key = jax.random.fold_in(base_key, start)
+            w, n = _neighborhood_sweep_nodeset(
+                graph, jnp.asarray(block), cfg.n_hops, cfg.alpha, T, key,
+                bs, n_blocks, n_chains=chains, fused=cfg.fused_tables)
+            return start, stop, w, n
+
+        for start, stop, w, n in lagged(
+                dispatch(s) for s in range(0, len(aff), stride)):
+            valid = stop - start
+            new_w[aff[start:stop]] = np.asarray(w)[:valid]
+            new_n[aff[start:stop]] = np.asarray(n)[:valid]
+            if verbose:
+                print(f"refresh: {stop}/{len(aff)} re-swept")
+
+    _save_cache(path, new_w, new_n, cfg, seed, graph.n_edges)
+    return new_w, new_n
+
+
 def effective_chains(n_hops: int, parallel_chains: int) -> int:
     """Largest divisor of `n_hops` that is <= `parallel_chains` (the walk
     splitter needs equal-length chains; a non-dividing request degrades

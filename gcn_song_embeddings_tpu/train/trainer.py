@@ -11,7 +11,9 @@ metric scalars come back to the host.  Checkpoints are written per chunk
 Logged fields per batch keep the reference's wandb names
 (pinsage_training.py:241-246): "Train Loss", "Node Features Loss",
 "Batch Variance", "Learning Rate" — written as JSON lines to
-`<run_dir>/metrics.jsonl`.
+`<run_dir>/metrics.jsonl`, plus "Gradient Norm" (the global grad L2,
+standing in for the reference's wandb.watch gradient monitoring,
+pinsage_training.py:171-174).
 """
 
 from __future__ import annotations
@@ -84,7 +86,8 @@ def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
                  positives: jnp.ndarray, chunk_key: jax.Array,
                  tcfg, mcfg, n_items: int, n_chunk: int, tx):
     """Run `n_chunk` train batches under one lax.scan. Returns new state +
-    per-batch metrics [n_chunk, 4] (loss, node_feat_loss, variance, lr).
+    per-batch metrics [n_chunk, 5] (loss, node_feat_loss, variance, lr,
+    grad_norm).
 
     Static args are the train/model sub-configs (NOT the whole RunConfig,
     whose run_name would needlessly fragment the jit cache across runs).
@@ -143,6 +146,10 @@ def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
             return loss, h_q
 
         (loss, h_q), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # global gradient L2 norm — the parity stand-in for the
+        # reference's wandb.watch gradient monitoring
+        # (pinsage_training.py:171-174); computed on device, one scalar
+        grad_norm = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
 
@@ -157,7 +164,8 @@ def _train_chunk(params: PinSageParams, opt_state, features: jnp.ndarray,
         variance = batch_variance(h_q)
         step = _adam_count(opt_state)
         lr = tcfg.lr * tcfg.decay ** (step // tcfg.batches_per_epoch)
-        metrics = jnp.stack([loss, node_feat_loss, variance, lr])
+        metrics = jnp.stack([loss, node_feat_loss, variance, lr,
+                             grad_norm])
         return (new_params, new_opt_state), metrics
 
     keys = jax.random.split(chunk_key, n_chunk)
@@ -375,5 +383,6 @@ class PinSageTrainer:
                     "Node Features Loss": float(row[1]),
                     "Batch Variance": float(row[2]),
                     "Learning Rate": float(row[3]),
+                    "Gradient Norm": float(row[4]),
                     "epoch": (done_before + i) // bpe,
                 }) + "\n")

@@ -1,11 +1,16 @@
-"""WalkEmbedHybrid at dataset_large scale (round-4 capstone).
+"""WalkEmbedHybrid at dataset_large scale (round-4 capstone, extended
+round 5).
 
 Reuses the scale_1m_co work dir (1M tracks / 250k playlists, colisten
 T=10 trained run): resume the trainer for the embedding, run query-time
 PPR walks over the augmented graph for every unique test query, merge
-per-query (walk head, embedding tail — models/baselines/simple.
-merge_ranked_lists), and score the 300k test pairs from the merged
-lists next to the walk-only and embedding-only rows.
+per-query on DEVICE (walk head, embedding tail — ops/merge.merge_topk;
+the round-4 host merge alone took ~9 min for 280k queries), and score
+the 300k test pairs from the merged lists next to the walk-only and
+embedding-only rows.  Round 5 adds the beyond-accuracy + cold-start
+columns (VERDICT item 7): catalog coverage of the test-query recs,
+inter-diversity, and low-degree mrr, so the 20k-roster finding ("the
+hybrid's win costs no coverage/diversity") is verified at 1M shape.
 
 Usage: python scripts/hybrid_1m_check.py [--work-dir /tmp/scale_1m_co]
 """
@@ -45,9 +50,7 @@ def main() -> None:
         augment_with_colisten,
     )
     from gcn_song_embeddings_tpu.evals import metrics as M
-    from gcn_song_embeddings_tpu.models.baselines.simple import (
-        merge_ranked_lists,
-    )
+    from gcn_song_embeddings_tpu.ops.merge import merge_topk
     from gcn_song_embeddings_tpu.ops.knn import cosine_topk_streamed
     from gcn_song_embeddings_tpu.ops.ppr import (
         sample_neighborhood_topt_tables,
@@ -135,26 +138,66 @@ def main() -> None:
         walk_n[s:e] = np.asarray(n)[: e - s]
     log(f"walk lists: {time.time() - t0:.1f}s")
 
+    # --- device merge, chunked over query rows (ops/merge.merge_topk;
+    # was a ~9 min host set-loop in round 4)
     t0 = time.time()
-    hyb_w, hyb_n = merge_ranked_lists(walk_w, walk_n, emb_w, emb_n)
-    log(f"merge: {time.time() - t0:.1f}s")
+    hyb_n = np.empty((nq, k), np.int32)
+    hyb_w = np.empty((nq, k), np.float32)
+    mbs = 8192
+
+    def m_dispatch(s):
+        e = min(s + mbs, nq)
+        pad = mbs - (e - s)
+        hw = np.pad(walk_w[s:e], ((0, pad), (0, 0)))
+        hn = np.pad(walk_n[s:e], ((0, pad), (0, 0)))
+        tw = np.pad(emb_w[s:e], ((0, pad), (0, 0)), constant_values=1.0)
+        tn = np.pad(emb_n[s:e], ((0, pad), (0, 0)))
+        w, n = merge_topk(jnp.asarray(hw), jnp.asarray(hn),
+                          jnp.asarray(tw), jnp.asarray(tn))
+        return s, e, w, n
+
+    for s, e, w, n in lagged(m_dispatch(x) for x in range(0, nq, mbs)):
+        hyb_w[s:e] = np.asarray(w)[: e - s]
+        hyb_n[s:e] = np.asarray(n)[: e - s]
+    merge_s = time.time() - t0
+    log(f"device merge: {merge_s:.1f}s")
 
     # score test pairs through compacted per-query lists
     qpos = {q: i for i, q in enumerate(queries)}
     pairs = np.stack([[qpos[a] for a, _ in test_pos],
                       test_pos[:, 1]], axis=1)
+    in_deg = g.in_degrees()
+    low_sel = in_deg[test_pos[:, 0]] <= 1          # tables.py degree_thr=1
     out = {}
     for name, lists in (("walk", walk_n), ("embedding", emb_n),
                         ("hybrid", hyb_n)):
         out[name] = {
             **{f"hit@{K}": round(M.hit_rate(lists, pairs, K), 5)
                for K in (10, 100, 500)},
-            "mrr@1000": round(M.mrr(lists, pairs, 1000), 5)}
+            "mrr@1000": round(M.mrr(lists, pairs, 1000), 5),
+            # beyond-accuracy over the test-query rows (VERDICT r4 item
+            # 7): coverage normalized by the CATALOG (reference coverage
+            # divides by its all-rows knn matrix height, eval.py:342-355;
+            # here rows are the 280k test queries, so the honest
+            # denominator is n_items — the fraction of the 1M catalog
+            # ever recommended to a test query), columns 1:K+1 quirk kept
+            "coverage@500": round(float(
+                np.unique(lists[:, 1:501]).shape[0] / g.n_items), 5),
+            "inter_div@100": round(M.inter_diversity(lists, K=100), 5),
+            "low_deg_mrr@1000": round(
+                M.mrr(lists, pairs[low_sel], 1000), 5) if low_sel.any()
+            else None,
+            "low_deg_hit@100": round(
+                M.hit_rate(lists, pairs[low_sel], 100), 5)
+            if low_sel.any() else None,
+        }
         log(name, json.dumps(out[name]))
 
     path = os.path.join(REPO, args.out)
     with open(path, "w") as f:
         json.dump({"n_tracks": g.n_items, "n_test_pairs": int(len(test_pos)),
+                   "n_low_degree_pairs": int(low_sel.sum()),
+                   "merge_s": round(merge_s, 1),
                    "rows": out}, f, indent=2)
     print(json.dumps(out))
 

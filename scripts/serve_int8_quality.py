@@ -66,9 +66,11 @@ def int8_rank_eval(emb, test_pairs, hit_ks=(10, 100, 500), mrr_k=1000,
         # right tie predicate here (int8 scores are discrete)
         better = jnp.sum(sims > pos[:, None], axis=1)
         tied = jnp.sum(sims == pos[:, None], axis=1) - 1  # minus pos itself
-        return 1 + better + tied // 2
+        # unfloored half-unit average rank, matching device_eval
+        # (advisor round 4)
+        return 1.0 + better + tied.astype(jnp.float32) * 0.5
 
-    ranks = np.empty(n, np.int64)
+    ranks = np.empty(n, np.float64)
     for s in range(0, n, batch):
         e = min(s + batch, n)
         blk = np.zeros((batch, 2), np.int32)

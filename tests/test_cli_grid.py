@@ -115,7 +115,8 @@ def test_cli_sharded_train_colisten(cli_dataset, tmp_path):
     emb = np.load(os.path.join(run_dir, "shco", "emb.npy"))
     assert emb.shape == (300, 128)
     # the augmented-graph nbhds artifact landed under the suffixed path
-    assert glob_one(cli_dataset, "neighborhoods.colisten1.npz")
+    # (non-default n_hops=100 is encoded too — advisor round 4)
+    assert glob_one(cli_dataset, "neighborhoods.colisten1.T100.h100.npz")
 
 
 def glob_one(dirname, name):

@@ -107,7 +107,9 @@ def test_trainer_colisten_cache_isolation(graph, positives, tmp_path):
                          graph.features, positives, cfg=cfg2,
                          base_run_dir=str(tmp_path), nbhds_path=nbhds_path,
                          log=False, load_save=False, verbose=False)
-    co_path = os.path.join(str(tmp_path), "nb.colisten1.npz")
+    # non-default walk params (n_hops=50) are encoded in the suffix so
+    # arms varying them keep distinct artifacts (advisor round 4)
+    co_path = os.path.join(str(tmp_path), "nb.colisten1.T100.h50.npz")
     assert os.path.isfile(co_path)
     assert tr2.graph.n_edges > tr.graph.n_edges
     tr2.train()                                     # end-to-end smoke
@@ -231,3 +233,35 @@ def test_walk_embed_hybrid(graph, positives):
     mw, mn = merge_ranked_lists(hw, hn, tw, tn)
     np.testing.assert_array_equal(mn[0], [3, 1, 4])
     assert mw[0][0] > mw[0][1] > mw[0][2]
+
+
+def test_apply_colisten_cache_suffix_encodes_walk_params(graph, positives):
+    """Advisor (round 4): arms sharing a dataset but varying walk params
+    must get DISTINCT cache filenames, not thrash one file; default
+    params keep the short stable name."""
+    import dataclasses
+
+    from gcn_song_embeddings_tpu.config import WalkConfig
+    from gcn_song_embeddings_tpu.data.device import (
+        DeviceGraph,
+        apply_colisten_config,
+    )
+
+    dg = DeviceGraph.from_graph(graph)
+    base = "/tmp/x/neighborhoods.npz"
+    _, p0 = apply_colisten_config(dg, positives,
+                                  WalkConfig(colisten_copies=1), base)
+    assert p0 == "/tmp/x/neighborhoods.colisten1.npz"
+    _, p1 = apply_colisten_config(
+        dg, positives, WalkConfig(colisten_copies=1, t_precompute=50), base)
+    _, p2 = apply_colisten_config(
+        dg, positives, WalkConfig(colisten_copies=1, n_hops=1000), base)
+    _, p3 = apply_colisten_config(
+        dg, positives, WalkConfig(colisten_copies=2), base)
+    _, p4 = apply_colisten_config(
+        dg, positives, WalkConfig(colisten_copies=1, alpha=0.5), base)
+    paths = {p0, p1, p2, p3, p4}
+    assert len(paths) == 5, paths
+    # off -> untouched
+    _, poff = apply_colisten_config(dg, positives, WalkConfig(), base)
+    assert poff == base

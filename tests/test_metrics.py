@@ -176,3 +176,70 @@ def test_device_rank_eval_tie_semantics():
     # better=rank-candidate count 1, tied others m=4 -> rank = 1+1+2 = 4
     assert r["hit@4"] == 1.0 and r["hit@2"] == 0.0
     np.testing.assert_allclose(r["mrr@10"], 1.0 / 4)
+
+    # ODD tie count: average rank is a half-unit and must NOT be floored
+    # (advisor round 4): m=3 tied others -> rank = 1 + 1 + 1.5 = 3.5
+    emb_odd = np.stack([q, better, worse] + [tied] * 4)  # ids 3..6 tied
+    r = rank_eval(emb_odd, pairs, hit_ks=(3, 4), mrr_k=10, batch=1)
+    assert r["hit@3"] == 0.0 and r["hit@4"] == 1.0
+    np.testing.assert_allclose(r["mrr@10"], 1.0 / 3.5)
+
+
+def test_evaluator_divergence_mechanism_on_ties():
+    """Round-5 VERDICT item 2(ii): the two instruments' documented
+    divergence on ALS-like duplicate-row embeddings.
+
+    The list-based harness (knn lists truncated at K + metrics.mrr's
+    miss-as-rank-K fallback, reference eval.py:112-143 + :248-249) and
+    the fused rank_eval (average direct rank) must:
+      * agree exactly on continuous (untied) positives at every k,
+      * agree on hit@k for cut points that don't straddle a tie block,
+      * diverge in the DOCUMENTED direction when a tie block straddles
+        K: the truncated list misses the positive (rank := K) while the
+        average rank is < K, so rank_eval MRR >= harness MRR — the
+        round-4 ALS-inflation mechanism (RESULTS.md tie audit).
+    """
+    from gcn_song_embeddings_tpu.evals.device_eval import rank_eval
+    from gcn_song_embeddings_tpu.ops.knn import knn_from_emb
+
+    # catalog: 9 distinct "better" items, a 160-row duplicate block
+    # (ALS cold items), distinct worse tail
+    d = 16
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(4, d))
+    base, _ = np.linalg.qr(base.T)
+    base = base.T.astype(np.float32)                     # 4 orthonormal
+    q = base[0]
+
+    def at_sim(s, direction):
+        return s * q + np.sqrt(1 - s * s) * direction
+
+    rows = [q]
+    rows += [at_sim(0.99 - 0.01 * i, base[1]) for i in range(9)]  # 1..9
+    rows += [at_sim(0.5, base[2])] * 160                 # ids 10..169 tied
+    # distinct worse tail (ids 170..199)
+    rows += [at_sim(0.1 - 0.002 * i, base[3]) for i in range(30)]
+    emb = np.stack(rows).astype(np.float32)
+
+    K = 100
+    pairs = np.array([[0, 5],       # continuous positive, true rank 5
+                      [0, 150]])    # tie-block member, out of the top-K
+    # harness instrument: truncated lists + reference-quirk metrics
+    _, knn_n = knn_from_emb(emb, k=K)
+    h = {f"hit@{k}": M.hit_rate(knn_n, pairs, k) for k in (4, 9, 100)}
+    h["mrr"] = M.mrr(knn_n, pairs, K)
+    # fused instrument
+    r = rank_eval(emb, pairs, hit_ks=(4, 9, 100), mrr_k=K, batch=2)
+
+    # (a) agreement away from tie blocks (pair 1 has true rank 5)
+    assert h["hit@4"] == r["hit@4"] == 0.0
+    assert h["hit@9"] == r["hit@9"] == 0.5
+    # (b) the straddling block diverges in the documented direction:
+    # harness list (ids 10..100 fill ranks 10..100) misses id 150;
+    # rank_eval average rank = 1 + 9 + 159/2 = 89.5 <= 100
+    assert h["hit@100"] == 0.5 and r["hit@100"] == 1.0
+    np.testing.assert_allclose(
+        h["mrr"], 0.5 * (1 / 5 + 1 / K), atol=1e-9)
+    np.testing.assert_allclose(
+        r[f"mrr@{K}"], 0.5 * (1 / 5 + 1 / 89.5), rtol=1e-5)
+    assert r[f"mrr@{K}"] >= h["mrr"]                     # inflation side

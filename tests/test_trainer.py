@@ -37,8 +37,10 @@ def test_train_resume_and_metrics(graph, positives, tmp_path):
             for line in open(os.path.join(tr.run_dir, "metrics.jsonl"))]
     assert len(rows) == 20
     for field in ("Train Loss", "Node Features Loss", "Batch Variance",
-                  "Learning Rate"):
+                  "Learning Rate", "Gradient Norm"):
         assert field in rows[0]
+    # gradient norms are finite and positive while the loss is nonzero
+    assert 0 < rows[0]["Gradient Norm"] < 1e6
     # LR decays per epoch (staircase exponential, decay=0.95)
     lr0 = rows[0]["Learning Rate"]
     lr1 = rows[-1]["Learning Rate"]
