@@ -141,25 +141,39 @@ class RunConfig:
 
     @staticmethod
     def recommended(run_name: str = "pinsage_tpu") -> "RunConfig":
-        """Tuned defaults for catalog-scale training.
+        """Tuned defaults — the measured round-4 grid winner.
 
-        The reference defaults (margin=1e-5, lr=1e-4) work — hit@100 0.202
-        vs 0.196 for this preset on the 100k benchmark — but they leave
-        the embedding geometrically near-collapsed (mean pairwise cosine
-        0.9999), so ranking it demands f32-accurate similarity everywhere
-        and any downstream consumer (ANN indexes, quantized serving) sits
-        on a numerical knife edge.  margin=0.1 buys the same accuracy
-        with ~1e-1-scale separations (RESULTS.md "Matmul precision" +
-        "Quality"); lr=1e-3 converges in fewer epochs on the grid
-        (results/grid_search1.json).
+        vs the reference defaults (margin=1e-5, lr=1e-4, no co-listen):
 
-        On co-listen catalogs also consider walk.colisten_copies=1 (+
-        model.T=10): it took PinSage past every CF baseline on the hard
-        benchmark (RESULTS.md round 4) — kept off here because it
-        changes the walked graph and the right copies/T depend on the
-        positives' density."""
+        * margin=0.1, lr=1e-3: same accuracy as the tiny reference
+          margin (hit@100 0.202 vs 0.196 on the 100k benchmark) but the
+          embedding is geometrically separated (~1e-1-scale cosine gaps
+          instead of a near-collapsed 0.9999 mean pairwise cosine), so
+          ranking survives bf16/int8 scoring and quantized serving is
+          lossless (RESULTS.md "Matmul precision", results/
+          serve_int8.json); lr=1e-3 converges in fewer epochs
+          (results/grid_search1.json).
+        * walk.colisten_copies=1 + model.T=10: materialize each train
+          positive as one 2-member pseudo-collection before the PPR
+          sweep and widen the aggregated neighborhood.  The 16-config
+          grid was perfectly bimodal on this knob — every colisten=1
+          config beat every colisten=0 config (results/
+          grid_search_colisten_hard.json) — and it is what takes
+          PinSage past every CF baseline on the identical split
+          (hit@100 0.618 vs ALS 0.476, results/colisten_ab.jsonl),
+          replicated at 1M scale (results/hybrid_1m.json).  Requires
+          train positives at construction (the trainer handles it);
+          set colisten_copies=0 for positives-free graphs.
+        * easy negatives (hard_negatives=False): the hn curriculum
+          helped only short schedules and hurt 30-epoch runs on the
+          hard benchmark (RESULTS.md round-4 partial-negative result).
+
+        See README "Which model should I run?" for the model-level
+        decision table (PageRankCo / PinSage+co / Hybrid)."""
         return RunConfig(
             run_name=run_name,
+            walk=WalkConfig(colisten_copies=1),
+            model=PinSageConfig(T=10),
             train=TrainConfig(lr=1e-3, margin=0.1),
         )
 

@@ -119,6 +119,11 @@ def test_recommended_config_preset():
     rc = RunConfig.recommended("x")
     assert rc.run_name == "x"
     assert rc.train.margin == 0.1 and rc.train.lr == 1e-3
-    # structural hyperparameters stay at reference values
-    assert rc.model.n_layers == 2 and rc.model.T == 3
+    # round-4 measured winner: co-listen augmentation + widened T
+    # (results/grid_search_colisten_hard.json bimodality)
+    assert rc.walk.colisten_copies == 1 and rc.model.T == 10
+    assert not rc.train.hard_negatives
+    # remaining structural hyperparameters stay at reference values
+    assert rc.model.n_layers == 2
     assert rc.walk.alpha == 0.85 and rc.walk.n_hops == 500
+    assert rc.train.hn_max <= rc.walk.t_precompute
