@@ -495,6 +495,11 @@ def main() -> None:
 
     from gcn_song_embeddings_tpu.data import SongGraph
 
+    from gcn_song_embeddings_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--emb", required=True, help="path to emb.npy")
     ap.add_argument("--dataset", default=None,

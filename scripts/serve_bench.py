@@ -62,6 +62,12 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    from gcn_song_embeddings_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()   # hybrid walk-scan compiles amortize across runs
     import numpy as np
 
     from gcn_song_embeddings_tpu.serve import (
