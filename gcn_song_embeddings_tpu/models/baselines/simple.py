@@ -24,7 +24,6 @@ from gcn_song_embeddings_tpu.models.baselines.base import (
 from gcn_song_embeddings_tpu.ops.knn import knn_from_emb
 from gcn_song_embeddings_tpu.ops.ppr import (
     sample_neighborhood_topt_tables,
-    visit_counts_topt,
 )
 from gcn_song_embeddings_tpu.ops.walks import fused_walk_tables
 from gcn_song_embeddings_tpu.utils.pipeline import lagged

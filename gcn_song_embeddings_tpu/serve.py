@@ -102,6 +102,47 @@ def _hybrid_topk_batch_int8(tables, q_values, q_scales, q: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("k",))
+def _hybrid_topk_batch_cached(nbhd_w: jnp.ndarray, nbhd_n: jnp.ndarray,
+                              unit_emb: jnp.ndarray, rows: jnp.ndarray,
+                              k: int):
+    """Hybrid top-k with the walk head read from the PRECOMPUTED
+    neighborhoods artifact (ops/ppr.precompute_neighborhoods): two row
+    gathers + cosine top-k + merge — no per-query walk scan.  The
+    offline sweep amortizes the walks the reference re-runs per query
+    (baselines.py:107-151), so hybrid latency ~= embedding-only
+    latency; the head is truncated at the artifact's T (default 100)
+    instead of the query-time walk's k, and serving is DETERMINISTIC
+    (no walk RNG)."""
+    from gcn_song_embeddings_tpu.ops.merge import merge_topk
+
+    head_w = nbhd_w[rows]                                # [B, T] desc
+    head_n = nbhd_n[rows]
+    sims = jnp.dot(unit_emb[rows], unit_emb.T,
+                   precision=jax.lax.Precision.HIGHEST)
+    sims = sims.at[jnp.arange(rows.shape[0]), rows].set(-jnp.inf)  # self
+    tail_w, tail_n = jax.lax.top_k(sims, k)
+    return merge_topk(head_w, head_n, tail_w, tail_n)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _hybrid_topk_batch_cached_int8(nbhd_w: jnp.ndarray,
+                                   nbhd_n: jnp.ndarray,
+                                   q_values, q_scales, q: jnp.ndarray,
+                                   rows: jnp.ndarray, k: int):
+    """_hybrid_topk_batch_cached with the embedding tail scored on the
+    int8 table (ops/quantize.int8_scores)."""
+    from gcn_song_embeddings_tpu.ops.merge import merge_topk
+    from gcn_song_embeddings_tpu.ops.quantize import int8_scores
+
+    head_w = nbhd_w[rows]
+    head_n = nbhd_n[rows]
+    sims = int8_scores(q_values, q_scales, q)
+    sims = sims.at[jnp.arange(rows.shape[0]), rows].set(-jnp.inf)  # self
+    tail_w, tail_n = jax.lax.top_k(sims, k)
+    return merge_topk(head_w, head_n, tail_w, tail_n)
+
+
+@partial(jax.jit, static_argnames=("k",))
 def _query_topk_batch(unit_emb: jnp.ndarray, rows: jnp.ndarray, k: int):
     """[B] query rows -> ([B, k+1], [B, k+1]) cosine top-(k+1).
 
@@ -287,24 +328,42 @@ class HybridIndex(EmbeddingIndex):
     the walk head precise).  `parallel_chains` splits each query's hop
     budget across lockstep chains: latency drops ~chains-fold (the hop
     scan shortens) at a slight distribution perturbation (ops/walks.py).
+
+    Alternatively pass `nbhds=(weights, nodes)` — the precomputed
+    neighborhoods artifact — to serve the walk head from CACHE: two row
+    gathers + merge per query instead of a walk scan (deterministic,
+    embedding-only-class latency; head truncated at the artifact's T).
     """
 
-    def __init__(self, embeddings: np.ndarray, device_graph,
+    def __init__(self, embeddings: np.ndarray, device_graph=None,
                  train_pairs: Optional[np.ndarray] = None,
                  colisten_copies: int = 1,
                  n_hops: int = 1000, alpha: float = 0.85,
                  parallel_chains: int = 1, seed: int = 0,
                  track_ids: Optional[list[str]] = None,
                  tracks_meta: Optional[dict] = None,
-                 quantized: bool = False, k_cap: int = 128):
+                 quantized: bool = False, k_cap: int = 128,
+                 nbhds: Optional[tuple] = None):
         super().__init__(embeddings, track_ids, tracks_meta,
                          quantized=quantized, k_cap=k_cap)
+        if nbhds is not None:
+            # cached-head mode: walk head = the precomputed top-T
+            # artifact (two gathers per query, deterministic, no walk
+            # scan — see _hybrid_topk_batch_cached)
+            self.nbhd_w = jnp.asarray(nbhds[0], dtype=jnp.float32)
+            self.nbhd_n = jnp.asarray(nbhds[1], dtype=jnp.int32)
+            self.tables = None
+            return
+        if device_graph is None:
+            raise ValueError("HybridIndex needs device_graph (query-time "
+                             "walks) or nbhds (precomputed head)")
         from gcn_song_embeddings_tpu.data.device import (
             augment_with_colisten,
         )
         from gcn_song_embeddings_tpu.ops.ppr import effective_chains
         from gcn_song_embeddings_tpu.ops.walks import fused_walk_tables
 
+        self.nbhd_w = None
         if train_pairs is not None and colisten_copies > 0:
             device_graph = augment_with_colisten(
                 device_graph, np.asarray(train_pairs), colisten_copies)
@@ -331,14 +390,26 @@ class HybridIndex(EmbeddingIndex):
         b = 1 << (int(rows.size) - 1).bit_length()         # next pow2
         padded = np.zeros((b,), np.int32)
         padded[: rows.size] = rows
-        key = jax.random.fold_in(self._key, self._dispatches)
-        self._dispatches += 1
-        if self.quantized:
+        if self.tables is None:                            # cached head
+            if self.quantized:
+                w, n = _hybrid_topk_batch_cached_int8(
+                    self.nbhd_w, self.nbhd_n, self.q_values,
+                    self.q_scales, jnp.asarray(self.unit_host[padded]),
+                    jnp.asarray(padded), self.k_cap)
+            else:
+                w, n = _hybrid_topk_batch_cached(
+                    self.nbhd_w, self.nbhd_n, self.unit,
+                    jnp.asarray(padded), self.k_cap)
+        elif self.quantized:
+            key = jax.random.fold_in(self._key, self._dispatches)
+            self._dispatches += 1
             w, n = _hybrid_topk_batch_int8(
                 self.tables, self.q_values, self.q_scales,
                 jnp.asarray(self.unit_host[padded]), jnp.asarray(padded),
                 key, self.n_hops, self.alpha, self.k_cap, self.n_chains)
         else:
+            key = jax.random.fold_in(self._key, self._dispatches)
+            self._dispatches += 1
             w, n = _hybrid_topk_batch(
                 self.tables, self.unit, jnp.asarray(padded), key,
                 self.n_hops, self.alpha, self.k_cap, self.n_chains)
@@ -519,6 +590,11 @@ def main() -> None:
                     help="split the hybrid hop budget across this many "
                          "lockstep chains (lower latency, slight "
                          "distribution perturbation)")
+    ap.add_argument("--cached-head", action="store_true",
+                    help="hybrid walk head from the precomputed "
+                         "neighborhoods artifact (no per-query walks: "
+                         "deterministic, embedding-class latency; "
+                         "sweeps the artifact first if absent)")
     args = ap.parse_args()
     graph = SongGraph(args.dataset) if args.dataset else None
     if args.hybrid:
@@ -530,12 +606,32 @@ def main() -> None:
             ap.error("--hybrid requires --dataset (the graph to walk)")
         train_pos, _ = graph.load_positives_split(
             os.path.join(args.dataset, "positives.json"))
-        index = HybridIndex(
-            np.load(args.emb), DeviceGraph.from_graph(graph),
-            train_pairs=train_pos, colisten_copies=args.colisten,
-            n_hops=args.hops, parallel_chains=args.chains,
-            track_ids=graph.track_ids, tracks_meta=graph.tracks,
-            quantized=args.int8)
+        if args.cached_head:
+            from gcn_song_embeddings_tpu.config import WalkConfig
+            from gcn_song_embeddings_tpu.data.device import (
+                apply_colisten_config,
+            )
+            from gcn_song_embeddings_tpu.ops.ppr import (
+                precompute_neighborhoods,
+            )
+
+            wcfg = WalkConfig(colisten_copies=args.colisten)
+            dg, nb_path = apply_colisten_config(
+                DeviceGraph.from_graph(graph), train_pos, wcfg,
+                os.path.join(args.dataset, "neighborhoods.npz"))
+            nbhds = precompute_neighborhoods(dg, wcfg, nb_path,
+                                             verbose=True)
+            index = HybridIndex(
+                np.load(args.emb), nbhds=nbhds,
+                track_ids=graph.track_ids, tracks_meta=graph.tracks,
+                quantized=args.int8)
+        else:
+            index = HybridIndex(
+                np.load(args.emb), DeviceGraph.from_graph(graph),
+                train_pairs=train_pos, colisten_copies=args.colisten,
+                n_hops=args.hops, parallel_chains=args.chains,
+                track_ids=graph.track_ids, tracks_meta=graph.tracks,
+                quantized=args.int8)
     else:
         index = EmbeddingIndex.from_run(args.emb, graph,
                                         quantized=args.int8)

@@ -52,6 +52,9 @@ def main() -> None:
     ap.add_argument("--chains", type=int, default=1,
                     help="hybrid: split the hop budget across lockstep "
                          "chains (latency knob)")
+    ap.add_argument("--cached-head", action="store_true",
+                    help="hybrid walk head from a precomputed artifact "
+                         "(offline sweep first; no per-query walks)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU platform (the axon sitecustomize "
                          "overrides JAX_PLATFORMS, so an env var is not "
@@ -96,9 +99,28 @@ def main() -> None:
                                      c2i.indptr, c2i.indices)
         pairs = rng.integers(0, args.tracks,
                              size=(args.tracks // 2, 2)).astype(np.int64)
-        index = HybridIndex(emb, dg, train_pairs=pairs, colisten_copies=1,
-                            n_hops=args.hops, parallel_chains=args.chains,
-                            quantized=args.int8)
+        if args.cached_head:
+            # amortize the walks offline: sweep the artifact once, serve
+            # the head from cache (two gathers/query)
+            from gcn_song_embeddings_tpu.config import WalkConfig
+            from gcn_song_embeddings_tpu.data.device import (
+                augment_with_colisten,
+            )
+            from gcn_song_embeddings_tpu.ops.ppr import (
+                precompute_neighborhoods,
+            )
+
+            aug = augment_with_colisten(dg, pairs, 1)
+            t0 = time.perf_counter()
+            nbhds = precompute_neighborhoods(
+                aug, WalkConfig(batch_walkers=8192), None)
+            log(f"offline head sweep: {time.perf_counter() - t0:.1f} s")
+            index = HybridIndex(emb, nbhds=nbhds, quantized=args.int8)
+        else:
+            index = HybridIndex(emb, dg, train_pairs=pairs,
+                                colisten_copies=1, n_hops=args.hops,
+                                parallel_chains=args.chains,
+                                quantized=args.int8)
     else:
         index = EmbeddingIndex(emb, quantized=args.int8)
     server = serve(index, port=0)
@@ -186,7 +208,8 @@ def main() -> None:
     print(json.dumps({
         "tracks": args.tracks, "dim": args.dim, "int8": args.int8,
         "hybrid": args.hybrid,
-        **({"hops": args.hops, "chains": args.chains}
+        **({"hops": args.hops, "chains": args.chains,
+            "cached_head": args.cached_head}
            if args.hybrid else {}),
         "platform": str(jax.devices()[0]),
         "sequential": seq, "concurrent": conc, "batched": bat}))

@@ -301,3 +301,51 @@ def test_hybrid_http_roundtrip(graph, positives):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_hybrid_cached_head_matches_oracle(graph, positives):
+    """Cached-head hybrid serving: the walk head comes from the
+    precomputed neighborhoods artifact (two gathers, no walk scan),
+    deterministic, and equals the merge oracle fed the artifact rows +
+    cosine tail."""
+    from gcn_song_embeddings_tpu.config import WalkConfig
+    from gcn_song_embeddings_tpu.data.device import (
+        DeviceGraph,
+        augment_with_colisten,
+    )
+    from gcn_song_embeddings_tpu.models.baselines.simple import (
+        merge_ranked_lists,
+    )
+    from gcn_song_embeddings_tpu.ops.knn import knn_from_emb
+    from gcn_song_embeddings_tpu.ops.ppr import precompute_neighborhoods
+    from gcn_song_embeddings_tpu.serve import HybridIndex
+
+    aug = augment_with_colisten(DeviceGraph.from_graph(graph),
+                                positives, 1)
+    cfg = WalkConfig(n_hops=200, t_precompute=12, batch_walkers=128)
+    nb = precompute_neighborhoods(aug, cfg, None, seed=0)
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(graph.n_items, 16)).astype(np.float32)
+    ix = HybridIndex(emb, nbhds=nb, k_cap=16,
+                     track_ids=graph.track_ids, tracks_meta=graph.tracks)
+    rows = np.arange(16, dtype=np.int32)
+    k = 16
+    got = ix.knn_rows(rows, k)
+    # oracle: artifact head rows + knn_from_emb tail through the numpy
+    # merge (unit rows -> same cosine ordering as the serving kernel)
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    tw, tn = knn_from_emb(unit, rows, k)
+    ow, on = merge_ranked_lists(nb[0][rows], nb[1][rows],
+                                np.asarray(tw), np.asarray(tn))
+    for i in range(len(rows)):
+        ids = [o["index"] for o in got[i]]
+        assert ids == on[i][:k].tolist(), f"row {i}"
+    # deterministic: a second call returns identical lists
+    again = ix.knn_rows(rows, k)
+    assert [[o["index"] for o in r] for r in again] == \
+        [[o["index"] for o in r] for r in got]
+    # int8 tail variant runs and stays self-free/dup-free
+    qx = HybridIndex(emb, nbhds=nb, k_cap=16, quantized=True)
+    for i, r in enumerate(qx.knn_rows(rows, k)):
+        ids = [o["index"] for o in r]
+        assert len(set(ids)) == len(ids) and int(rows[i]) not in ids
