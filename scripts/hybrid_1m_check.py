@@ -75,7 +75,7 @@ def main() -> None:
 
     # the scale_demo run's config (margin 0.1, lr 1e-3, colisten 1, T 10)
     cfg = config_with_overrides(
-        RunConfig(run_name="scale_demo_m0.1_lr0.001_co1"), {
+        RunConfig(run_name="scale_demo_m0.1_lr0.001_co1_T10"), {
             "train.epochs": 3, "train.lr": 1e-3, "train.margin": 0.1,
             "walk.batch_walkers": 8192,
             "walk.colisten_copies": 1, "model.T": 10})
