@@ -48,7 +48,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gcn_song_embeddings_tpu.ops.merge import merge_topk
 from gcn_song_embeddings_tpu.ops.quantize import int8_scores, quantize_rows
-from gcn_song_embeddings_tpu.parallel.gather import sharded_table_gather
+from gcn_song_embeddings_tpu.parallel.gather import (
+    sharded_table_gather,
+    sharded_table_gather_ring,
+)
 from gcn_song_embeddings_tpu.parallel.mesh import pad_to_multiple
 
 
@@ -116,7 +119,16 @@ class ShardedServeIndex:
 
     def __init__(self, embeddings: np.ndarray, mesh: Optional[Mesh] = None,
                  nbhds: Optional[tuple] = None, quantized: bool = False,
-                 k_cap: int = 128):
+                 k_cap: int = 128, gather_impl: str = "psum_scatter"):
+        if gather_impl not in ("psum_scatter", "ring"):
+            raise ValueError(
+                f"gather_impl must be 'psum_scatter' or 'ring', "
+                f"got {gather_impl!r}")
+        # same two bit-equivalent collective schedules as ShardedTrainer
+        # (parallel/gather.py): ring overlaps per-hop local gathers with
+        # the in-flight ppermute -- prefer it for large row payloads
+        self._gather = (sharded_table_gather_ring if gather_impl == "ring"
+                        else sharded_table_gather)
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), axis_names=("graph",))
         if "graph" not in mesh.axis_names:
@@ -168,10 +180,11 @@ class ShardedServeIndex:
         mesh = self.mesh
         n_valid = self.n
         quantized = self.quantized
+        gather = self._gather
         extra = ((P("graph", None), P("graph")) if quantized else ())
 
         def kernel(emb_local, rows, *qtabs):
-            q = sharded_table_gather(emb_local, rows, "graph")   # [B, d]
+            q = gather(emb_local, rows, "graph")                 # [B, d]
             if quantized:
                 sims = _local_scores_int8(qtabs[0], qtabs[1], q, rows,
                                           n_valid, "graph")
@@ -194,12 +207,13 @@ class ShardedServeIndex:
         mesh = self.mesh
         n_valid = self.n
         quantized = self.quantized
+        gather = self._gather
         extra = ((P("graph", None), P("graph")) if quantized else ())
 
         def kernel(emb_local, nb_w_local, nb_n_local, rows, *qtabs):
-            q = sharded_table_gather(emb_local, rows, "graph")
-            head_w = sharded_table_gather(nb_w_local, rows, "graph")
-            head_n = sharded_table_gather(nb_n_local, rows, "graph")
+            q = gather(emb_local, rows, "graph")
+            head_w = gather(nb_w_local, rows, "graph")
+            head_n = gather(nb_n_local, rows, "graph")
             if quantized:
                 sims = _local_scores_int8(qtabs[0], qtabs[1], q, rows,
                                           n_valid, "graph")

@@ -100,6 +100,23 @@ def test_sharded_knn_int8_matches_full_table_int8():
         w, np.take_along_axis(sims, rn, axis=1), rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_hybrid_ring_gather_bit_identical():
+    # the ring ppermute schedule must return exactly what psum_scatter does
+    emb = _emb(n=160, d=12, seed=3)
+    nb_w, nb_n = _nbhds(160)
+    mesh = make_mesh(n_dp=1, n_graph=8)
+    rows = np.array([5, 0, 159, 42], np.int32)
+    a = ShardedServeIndex(emb, mesh=mesh, nbhds=(nb_w, nb_n), k_cap=20)
+    b = ShardedServeIndex(emb, mesh=mesh, nbhds=(nb_w, nb_n), k_cap=20,
+                          gather_impl="ring")
+    wa, na = a.hybrid_knn_rows(rows, k=20)
+    wb, nb = b.hybrid_knn_rows(rows, k=20)
+    np.testing.assert_array_equal(na, nb)
+    np.testing.assert_array_equal(wa, wb)
+    with pytest.raises(ValueError):
+        ShardedServeIndex(emb, mesh=mesh, gather_impl="nope")
+
+
 def test_sharded_serve_validation():
     emb = _emb(n=40)
     mesh = make_mesh(n_dp=1, n_graph=8)
