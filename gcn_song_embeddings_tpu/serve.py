@@ -154,6 +154,42 @@ def _query_topk_batch(unit_emb: jnp.ndarray, rows: jnp.ndarray, k: int):
     return jax.lax.top_k(sims, k + 1)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _query_topk_batch_delta(unit_emb: jnp.ndarray, delta: jnp.ndarray,
+                            q: jnp.ndarray, count, k: int):
+    """Cosine top-(k+1) over main table + online-add delta buffer.
+
+    `delta` is the [cap, d] power-of-two delta buffer (rows past `count`
+    are dead and masked); concat index order makes a delta hit's index
+    n_main + position = its global row id.  Queries land here only while
+    a delta is outstanding (EmbeddingIndex.add_tracks / compact)."""
+    sims_m = jnp.dot(q, unit_emb.T,
+                     precision=jax.lax.Precision.HIGHEST)   # [B, N]
+    sims_d = jnp.dot(q, delta.T,
+                     precision=jax.lax.Precision.HIGHEST)   # [B, cap]
+    dead = jax.lax.broadcasted_iota(
+        jnp.int32, (1, delta.shape[0]), 1) >= count
+    sims_d = jnp.where(dead, -jnp.inf, sims_d)
+    return jax.lax.top_k(jnp.concatenate([sims_m, sims_d], axis=1), k + 1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _query_topk_batch_delta_int8(values: jnp.ndarray, scales: jnp.ndarray,
+                                 delta: jnp.ndarray, q: jnp.ndarray,
+                                 count, k: int):
+    """`_query_topk_batch_delta` with the MAIN table scored int8
+    (ops/quantize.int8_scores) and the delta scored f32 — freshly added
+    rows stay exact until `compact()` folds + re-quantizes them."""
+    from gcn_song_embeddings_tpu.ops.quantize import int8_scores
+
+    sims_m = int8_scores(values, scales, q)
+    sims_d = jnp.dot(q, delta.T, precision=jax.lax.Precision.HIGHEST)
+    dead = jax.lax.broadcasted_iota(
+        jnp.int32, (1, delta.shape[0]), 1) >= count
+    sims_d = jnp.where(dead, -jnp.inf, sims_d)
+    return jax.lax.top_k(jnp.concatenate([sims_m, sims_d], axis=1), k + 1)
+
+
 class EmbeddingIndex:
     """Device-resident kNN index over a track embedding matrix.
 
@@ -196,9 +232,82 @@ class EmbeddingIndex:
         # top-(k_cap+1) so the jit cache has ONE entry per batch bucket,
         # not one per distinct requested k
         self.k_cap = max(min(k_cap, self.n - 1), 1)
-        self.track_ids = track_ids or [str(i) for i in range(self.n)]
+        self.track_ids = list(track_ids) if track_ids else [
+            str(i) for i in range(self.n)]
         self.row_of = {tid: i for i, tid in enumerate(self.track_ids)}
         self.tracks_meta = tracks_meta or {}
+        # online catalog adds (add_tracks): new rows live in a
+        # power-of-two device delta buffer scored alongside the main
+        # table in the same dispatch until compact() folds them in
+        self._n_main = self.n
+        self._delta_host = np.zeros((0, self.dim), np.float32)
+        self._delta_dev = None
+
+    def add_tracks(self, embeddings: np.ndarray,
+                   track_ids: Optional[list[str]] = None,
+                   tracks_meta: Optional[dict] = None) -> list[int]:
+        """Append new tracks to a LIVE index (no rebuild, no downtime).
+
+        New rows are L2-normalized and staged in a device-side delta
+        buffer (power-of-two capacity, so repeated adds reuse the jit
+        entries); every query then scores main table + delta in one
+        dispatch (`_query_topk_batch_delta`).  On a quantized index the
+        delta is scored f32 — exact until `compact()` folds it into the
+        int8 table.  Returns the new global row ids.  The reference has
+        no serving at all, let alone online updates; this is the
+        embedding-side half of catalog growth (the walk side is
+        ops/ppr.refresh_neighborhoods)."""
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if emb.ndim != 2 or emb.shape[1] != self.dim:
+            raise ValueError(f"expected [*, {self.dim}] embeddings, "
+                             f"got {emb.shape}")
+        m = emb.shape[0]
+        if m == 0:
+            return []
+        ids = (list(track_ids) if track_ids
+               else [str(self.n + i) for i in range(m)])
+        if len(ids) != m:
+            raise ValueError(f"{m} embeddings but {len(ids)} track ids")
+        dup = [t for t in ids if t in self.row_of]
+        if dup or len(set(ids)) != len(ids):
+            raise KeyError(f"duplicate track ids: {(dup or ids)[:3]}")
+        unit = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        rows = list(range(self.n, self.n + m))
+        self._delta_host = np.concatenate([self._delta_host, unit])
+        self.unit_host = np.concatenate([self.unit_host, unit])
+        if self.quantized:
+            self.unit = self.unit_host     # host alias (query-row gather)
+        for tid, row in zip(ids, rows):
+            self.track_ids.append(tid)
+            self.row_of[tid] = row
+        if tracks_meta:
+            self.tracks_meta.update(tracks_meta)
+        self.n += m
+        # (re)upload the delta at its power-of-two capacity
+        cap = 1 << (len(self._delta_host) - 1).bit_length()
+        buf = np.zeros((cap, self.dim), np.float32)
+        buf[: len(self._delta_host)] = self._delta_host
+        self._delta_dev = jnp.asarray(buf)
+        return rows
+
+    def compact(self) -> None:
+        """Fold the online-add delta into the main device table (one
+        re-upload; re-quantizes on an int8 index).  Queries return to the
+        single-matmul kernels."""
+        if self._delta_dev is None:
+            return
+        if self.quantized:
+            from gcn_song_embeddings_tpu.ops.quantize import quantize_rows
+
+            self.q_values, self.q_scales = quantize_rows(
+                jnp.asarray(self.unit_host))
+            self.unit = self.unit_host
+        else:
+            self.unit = jnp.asarray(self.unit_host)
+        self._n_main = self.n
+        self._delta_host = np.zeros((0, self.dim), np.float32)
+        self._delta_dev = None
 
     @classmethod
     def from_run(cls, emb_path: str, graph=None,
@@ -210,6 +319,10 @@ class EmbeddingIndex:
         return cls(emb, quantized=quantized)
 
     def knn(self, row: int, k: int = 10) -> list[dict]:
+        if self._delta_dev is not None:
+            # delta outstanding: the single-query kernels only see the
+            # main table — route through the delta-aware batched path
+            return self.knn_rows(np.asarray([row]), k)[0]
         # the +1/+2 self-slack must never push top_k past the table size;
         # catalogs too small for the int8 kernel's +2 slack still have
         # valid neighbors — serve them via the exact path
@@ -259,13 +372,27 @@ class EmbeddingIndex:
             # XLA clamps out-of-bounds gathers silently — fail loudly here
             raise IndexError(f"query rows outside [0, {self.n})")
         rows = rows.astype(np.int32)
-        if self.n <= 3:                    # tiny catalogs: exact path
+        if self.n <= 3 and self._delta_dev is None:  # tiny: exact path
             return [self.knn(int(r), k) for r in rows]
         k = max(min(k, self.k_cap, self.n - 1), 1)
         b = 1 << (int(rows.size) - 1).bit_length()         # next pow2
         padded = np.zeros((b,), np.int32)
         padded[: rows.size] = rows
-        if self.quantized and self.n > 2:
+        if self._delta_dev is not None:
+            # online-add delta outstanding: score main + delta in one
+            # dispatch; query rows gathered host-side (they may be
+            # delta rows themselves).  The delta kernels handle any
+            # catalog size (top width k+1 <= n <= main+cap).
+            q = jnp.asarray(self.unit_host[padded])
+            count = jnp.int32(len(self._delta_host))
+            if self.quantized:
+                w, n = _query_topk_batch_delta_int8(
+                    self.q_values, self.q_scales, self._delta_dev, q,
+                    count, self.k_cap)
+            else:
+                w, n = _query_topk_batch_delta(
+                    self.unit, self._delta_dev, q, count, self.k_cap)
+        elif self.quantized and self.n > 2:
             from gcn_song_embeddings_tpu.ops.quantize import int8_topk
 
             w, n = int8_topk(self.q_values, self.q_scales,
@@ -374,6 +501,12 @@ class HybridIndex(EmbeddingIndex):
         self._key = jax.random.PRNGKey(seed)
         self._dispatches = 0
 
+    def add_tracks(self, embeddings, track_ids=None, tracks_meta=None):
+        raise NotImplementedError(
+            "online adds are an EmbeddingIndex capability: the hybrid's "
+            "walk head needs the new tracks in the graph/neighborhoods "
+            "artifact first (ops.ppr.refresh_neighborhoods), then rebuild")
+
     def knn(self, row: int, k: int = 10) -> list[dict]:
         # route the single-query path through the batched hybrid kernel
         # (bucket 1) so walk randomness/merge semantics are identical
@@ -454,13 +587,33 @@ class QueryBatcher:
         self._q.put((list(rows), k, fut))
         return fut.result()
 
+    def add_tracks(self, emb, track_ids, tracks_meta) -> list[int]:
+        """Online catalog add, serialized through the dispatcher thread
+        (the delta upload is device work — same one-dispatch-at-a-time
+        rule as queries)."""
+        fut: Future = Future()
+        self._q.put(("__add__", (emb, track_ids, tracks_meta), fut))
+        return fut.result()
+
+    def _do_add(self, item) -> None:
+        _, (emb, track_ids, tracks_meta), fut = item
+        try:
+            fut.set_result(self.index.add_tracks(emb, track_ids,
+                                                 tracks_meta))
+        except Exception as e:
+            fut.set_exception(e)
+
     def _loop(self) -> None:
         while True:
             item = self._q.get()
             if item is None or self._stopped:
                 return
+            if isinstance(item[0], str):       # "__add__": run alone
+                self._do_add(item)
+                continue
             batch = [item]
             n_rows = len(item[0])
+            pending_add = None
             # drain whatever else is already queued (coalesce concurrent
             # clients into one device call) without waiting
             while n_rows < self.max_batch:
@@ -471,6 +624,9 @@ class QueryBatcher:
                 if nxt is None:
                     self._q.put(None)      # re-signal stop after this drain
                     break
+                if isinstance(nxt[0], str):    # add: after this batch
+                    pending_add = nxt
+                    break
                 batch.append(nxt)
                 n_rows += len(nxt[0])
             all_rows = [r for rows, _, _ in batch for r in rows]
@@ -480,12 +636,16 @@ class QueryBatcher:
             except Exception as e:  # fulfil every waiter with the error
                 for _, _, fut in batch:
                     fut.set_exception(e)
+                if pending_add is not None:
+                    self._do_add(pending_add)
                 continue
             off = 0
             for rows, k, fut in batch:
                 per = [nbrs[:k] for nbrs in results[off: off + len(rows)]]
                 off += len(rows)
                 fut.set_result(per)
+            if pending_add is not None:
+                self._do_add(pending_add)
 
 
 def make_handler(index: EmbeddingIndex, batcher: QueryBatcher | None = None):
@@ -531,6 +691,29 @@ def make_handler(index: EmbeddingIndex, batcher: QueryBatcher | None = None):
                 else:
                     self._json(404, {"error": f"no route {url.path}"})
             except (KeyError, ValueError, IndexError) as e:
+                self._json(400, {"error": str(e)})
+
+        def do_POST(self):  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            if url.path != "/add":
+                self._json(404, {"error": f"no route {url.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length))
+                tracks = payload["tracks"]
+                emb = np.asarray([t["embedding"] for t in tracks],
+                                 dtype=np.float32)
+                ids = [t["track"] for t in tracks]
+                meta = {t["track"]: {f: t[f] for f in ("name", "artist")
+                                     if f in t}
+                        for t in tracks if ("name" in t or "artist" in t)}
+                rows = (batcher.add_tracks(emb, ids, meta) if batcher
+                        else index.add_tracks(emb, ids, meta))
+                self._json(200, {"added": ids, "rows": rows,
+                                 "tracks": index.n})
+            except (KeyError, ValueError, TypeError,
+                    NotImplementedError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
 
     return Handler

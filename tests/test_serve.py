@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -349,3 +350,131 @@ def test_hybrid_cached_head_matches_oracle(graph, positives):
     for i, r in enumerate(qx.knn_rows(rows, k)):
         ids = [o["index"] for o in r]
         assert len(set(ids)) == len(ids) and int(rows[i]) not in ids
+
+
+# ---------------------------------------------------------- online adds
+
+
+def test_add_tracks_matches_rebuilt_index():
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(300, 16)).astype(np.float32)
+    extra = rng.normal(size=(37, 16)).astype(np.float32)
+    idx = EmbeddingIndex(base, k_cap=32)
+    rows = idx.add_tracks(extra)
+    assert rows == list(range(300, 337)) and idx.n == 337
+    fresh = EmbeddingIndex(np.concatenate([base, extra]), k_cap=32)
+    queries = np.array([0, 299, 300, 336, 17], np.int32)
+    got = idx.knn_rows(queries, k=10)
+    want = fresh.knn_rows(queries, k=10)
+    for g, w in zip(got, want):
+        assert [o["index"] for o in g] == [o["index"] for o in w]
+        np.testing.assert_allclose([o["score"] for o in g],
+                                   [o["score"] for o in w], atol=1e-5)
+    # single-query path routes through the delta kernel too
+    assert ([o["index"] for o in idx.knn(312, 8)]
+            == [o["index"] for o in fresh.knn(312, 8)])
+
+
+def test_add_tracks_compact_and_incremental_adds():
+    rng = np.random.default_rng(12)
+    base = rng.normal(size=(200, 8)).astype(np.float32)
+    e1 = rng.normal(size=(5, 8)).astype(np.float32)
+    e2 = rng.normal(size=(9, 8)).astype(np.float32)
+    idx = EmbeddingIndex(base, k_cap=16)
+    idx.add_tracks(e1, track_ids=[f"new{i}" for i in range(5)])
+    idx.add_tracks(e2)
+    before = idx.knn_rows(np.array([3, 203, 210]), k=12)
+    idx.compact()
+    assert idx._delta_dev is None and idx._n_main == 214
+    after = idx.knn_rows(np.array([3, 203, 210]), k=12)
+    for b, a in zip(before, after):
+        assert [o["index"] for o in b] == [o["index"] for o in a]
+    # id bookkeeping: named adds resolvable, duplicates rejected
+    assert idx.row_of["new2"] == 202
+    try:
+        idx.add_tracks(e1[:1], track_ids=["new2"])
+        raise AssertionError("duplicate id accepted")
+    except KeyError:
+        pass
+    try:
+        idx.add_tracks(rng.normal(size=(2, 5)).astype(np.float32))
+        raise AssertionError("wrong dim accepted")
+    except ValueError:
+        pass
+
+
+def test_add_tracks_int8_delta_exact_until_compact():
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(400, 16)).astype(np.float32)
+    idx = EmbeddingIndex(base, quantized=True, k_cap=16)
+    # a new track that duplicates row 42: must come back as its top-1
+    dup = base[42:43].copy()
+    (row,) = idx.add_tracks(dup, track_ids=["dup42"])
+    out = idx.knn(42, 5)
+    assert out[0]["index"] == row            # exact f32 delta scoring
+    out2 = idx.knn(row, 5)
+    assert out2[0]["index"] == 42
+    idx.compact()                            # folds + re-quantizes
+    fresh = EmbeddingIndex(np.concatenate([base, dup]), quantized=True,
+                           k_cap=16)
+    got = idx.knn_rows(np.array([42, row]), k=8)
+    want = fresh.knn_rows(np.array([42, row]), k=8)
+    for g, w in zip(got, want):
+        assert [o["index"] for o in g] == [o["index"] for o in w]
+
+
+def test_http_add_endpoint(graph):
+    index, emb = _index(graph)
+    server = serve(index, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        vec = (emb[9] / np.linalg.norm(emb[9])).tolist()
+        body = json.dumps({"tracks": [
+            {"track": "brand_new", "embedding": vec, "name": "New Song",
+             "artist": "New Artist"}]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/add", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            res = json.loads(r.read())
+        assert res["added"] == ["brand_new"]
+        assert res["tracks"] == graph.n_items + 1
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/knn?track=brand_new&k=3") as r:
+            res = json.loads(r.read())
+        # the duplicate of row 9 ranks it first, with metadata served
+        assert res["neighbors"][0]["index"] == 9
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/knn?track={graph.track_ids[9]}"
+                "&k=3") as r:
+            res = json.loads(r.read())
+        assert res["neighbors"][0]["track"] == "brand_new"
+        assert res["neighbors"][0]["name"] == "New Song"
+        # malformed payload -> 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/add", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad)
+            raise AssertionError("malformed add accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_hybrid_add_tracks_not_supported(graph, positives):
+    from gcn_song_embeddings_tpu.data.device import DeviceGraph
+    from gcn_song_embeddings_tpu.serve import HybridIndex
+
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(graph.n_items, 8)).astype(np.float32)
+    idx = HybridIndex(emb, DeviceGraph.from_graph(graph),
+                      train_pairs=positives, n_hops=64, k_cap=16)
+    try:
+        idx.add_tracks(emb[:1])
+        raise AssertionError("hybrid add accepted")
+    except NotImplementedError:
+        pass
