@@ -151,6 +151,7 @@ class ShardedServeIndex:
         self.k_cap = min(k_cap, self.n - 1) if self.n > 1 else 1
         padded = np.zeros((n_pad, self.dim), np.float32)
         padded[: self.n] = unit
+        self.unit_host = padded[: self.n]   # /embed lookups stay host-side
 
         shard = NamedSharding(mesh, P("graph", None))
         shard1 = NamedSharding(mesh, P("graph"))
@@ -271,3 +272,110 @@ class ShardedServeIndex:
         args = ((self.q_values, self.q_scales) if self.quantized else ())
         w, n = fn(self.unit, self.nbhds[0], self.nbhds[1], dev_rows, *args)
         return (np.asarray(w)[:n_real, :k], np.asarray(n)[:n_real, :k])
+
+
+class ShardedServingFrontend:
+    """serve.py-compatible facade over a `ShardedServeIndex`.
+
+    Exposes the `EmbeddingIndex` query surface (`n`, `dim`, `track_ids`,
+    `resolve`, `resolve_many`, `knn`, `knn_rows`, `embed`) so
+    `serve.serve()` — HTTP endpoints, QueryBatcher coalescing, the whole
+    single-dispatch discipline — runs unchanged over a catalog-sharded
+    mesh index:
+
+        front = ShardedServingFrontend(ShardedServeIndex(emb, nbhds=...),
+                                       track_ids=graph.track_ids)
+        serve(front).serve_forever()
+
+    Queries route to `hybrid_knn_rows` when the index carries a
+    neighborhoods artifact (the roster-winning hybrid ranking), else to
+    the embedding-only `knn_rows`.  Results arrive self-excluded from
+    the sharded kernels; degenerate -inf fill slots are dropped here.
+    """
+
+    def __init__(self, index: ShardedServeIndex,
+                 track_ids: Optional[list] = None,
+                 tracks_meta: Optional[dict] = None,
+                 hybrid: Optional[bool] = None):
+        self.index = index
+        self.n = index.n
+        self.dim = index.dim
+        self.k_cap = index.k_cap
+        self.track_ids = (list(track_ids) if track_ids
+                          else [str(i) for i in range(self.n)])
+        if len(self.track_ids) != self.n:
+            raise ValueError(f"{len(self.track_ids)} track ids for "
+                             f"{self.n} catalog rows")
+        self.row_of = {tid: i for i, tid in enumerate(self.track_ids)}
+        self.tracks_meta = tracks_meta or {}
+        self.hybrid = (index.nbhds is not None if hybrid is None
+                       else hybrid)
+        if self.hybrid and index.nbhds is None:
+            raise ValueError("hybrid=True needs an index built with nbhds=")
+
+    def _format_rows(self, w: np.ndarray, n: np.ndarray, k: int
+                     ) -> list[list[dict]]:
+        out = []
+        for wi, ni in zip(w, n):
+            keep = np.isfinite(wi)
+            row = []
+            for score, idx in zip(wi[keep][:k], ni[keep][:k]):
+                tid = self.track_ids[int(idx)]
+                item = {"track": tid, "index": int(idx),
+                        "score": round(float(score), 6)}
+                meta = self.tracks_meta.get(tid)
+                if meta:
+                    item["name"] = meta.get("name")
+                    item["artist"] = meta.get("artist")
+                row.append(item)
+            out.append(row)
+        return out
+
+    def add_tracks(self, embeddings, track_ids=None, tracks_meta=None):
+        raise NotImplementedError(
+            "online adds on a sharded index need a re-shard (rows are "
+            "range-partitioned); rebuild the ShardedServeIndex, or serve "
+            "deltas from a single-chip EmbeddingIndex tier")
+
+    def knn(self, row: int, k: int = 10) -> list[dict]:
+        return self.knn_rows(np.asarray([row]), k)[0]
+
+    def knn_rows(self, rows, k: int = 10) -> list[list[dict]]:
+        rows = np.asarray(rows)
+        if rows.size == 0:
+            return []
+        k = max(min(k, self.k_cap, self.n - 1), 1)
+        fn = (self.index.hybrid_knn_rows if self.hybrid
+              else self.index.knn_rows)
+        w, n = fn(rows, k)
+        return self._format_rows(w, n, k)
+
+    def embed(self, row: int) -> np.ndarray:
+        return np.asarray(self.index.unit_host[row])
+
+    def resolve(self, params: dict) -> int:
+        if "index" in params:
+            row = int(params["index"][0])
+            if not 0 <= row < self.n:
+                raise KeyError(f"index {row} out of range")
+            return row
+        tid = params["track"][0]
+        if tid not in self.row_of:
+            raise KeyError(f"unknown track {tid!r}")
+        return self.row_of[tid]
+
+    def resolve_many(self, params: dict) -> list[int]:
+        if "indices" in params:
+            rows = [int(x) for x in params["indices"][0].split(",") if x]
+            for row in rows:
+                if not 0 <= row < self.n:
+                    raise KeyError(f"index {row} out of range")
+        else:
+            rows = []
+            for tid in params["tracks"][0].split(","):
+                if tid not in self.row_of:
+                    raise KeyError(f"unknown track {tid!r}")
+                rows.append(self.row_of[tid])
+        if not rows:
+            raise ValueError("empty query list")
+        return rows

@@ -130,3 +130,52 @@ def test_sharded_serve_validation():
         idx.hybrid_knn_rows(np.array([0]))     # no nbhds given
     with pytest.raises(ValueError):
         ShardedServeIndex(emb, mesh=make_mesh(n_dp=2, n_graph=4))
+
+
+def test_sharded_frontend_http_roundtrip(graph):
+    """serve.py's HTTP stack (QueryBatcher on) over the sharded index."""
+    import json
+    import threading
+    import urllib.request
+
+    from gcn_song_embeddings_tpu.parallel.serve_sharded import (
+        ShardedServingFrontend,
+    )
+    from gcn_song_embeddings_tpu.serve import serve
+
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(graph.n_items, 16)).astype(np.float32)
+    nb_w, nb_n = _nbhds(graph.n_items)
+    idx = ShardedServeIndex(emb, mesh=make_mesh(n_dp=1, n_graph=8),
+                            nbhds=(nb_w, nb_n), k_cap=16)
+    front = ShardedServingFrontend(idx, track_ids=graph.track_ids,
+                                   tracks_meta=graph.tracks)
+    assert front.hybrid                      # auto: nbhds present
+    server = serve(front, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}") as r:
+                return json.loads(r.read())
+
+        health = get("/healthz")
+        assert health["tracks"] == graph.n_items
+        tid = graph.track_ids[3]
+        res = get(f"/knn?track={tid}&k=5")
+        assert len(res["neighbors"]) == 5
+        assert all(n["track"] != tid for n in res["neighbors"])
+        assert "name" in res["neighbors"][0]
+        # formatted output == the oracle-pinned hybrid kernel's ranking
+        rw, rn = idx.hybrid_knn_rows(np.array([3]), k=5)
+        assert [n["index"] for n in res["neighbors"]] == rn[0].tolist()
+        # batched endpoint through the QueryBatcher
+        res = get("/knn?indices=1,2,3&k=4")
+        assert len(res["neighbors"]) == 3
+        assert all(len(r) == 4 for r in res["neighbors"])
+        res = get(f"/embed?track={tid}")
+        assert len(res["embedding"]) == 16
+    finally:
+        server.shutdown()
+        server.server_close()
