@@ -47,6 +47,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gcn_song_embeddings_tpu.ops.merge import merge_topk
+from gcn_song_embeddings_tpu.serve import TrackResolverMixin
 from gcn_song_embeddings_tpu.ops.quantize import int8_scores, quantize_rows
 from gcn_song_embeddings_tpu.parallel.gather import (
     sharded_table_gather,
@@ -156,14 +157,22 @@ class ShardedServeIndex:
         shard = NamedSharding(mesh, P("graph", None))
         shard1 = NamedSharding(mesh, P("graph"))
         self._row_spec = P("graph", None)
-        self.unit = jax.device_put(padded, shard)
         self.quantized = quantized
         if quantized:
             # per-row quantization partitions cleanly: jit keeps the
-            # sharded layout, so the int8 table is born distributed
-            vals, scales = jax.jit(quantize_rows)(self.unit)
+            # sharded layout, so the int8 table is born distributed.
+            # The f32 table is only TRANSIENT (one shard per device) —
+            # dropping it keeps the int8 4x HBM saving; query rows are
+            # gathered host-side from unit_host instead (same policy as
+            # the single-device int8 path, serve.py)
+            tmp = jax.device_put(padded, shard)
+            vals, scales = jax.jit(quantize_rows)(tmp)
+            del tmp
             self.q_values = jax.device_put(vals, shard)
             self.q_scales = jax.device_put(scales, shard1)
+            self.unit = None
+        else:
+            self.unit = jax.device_put(padded, shard)
         self.nbhds = None
         if nbhds is not None:
             w = np.zeros((n_pad, nbhds[0].shape[1]), np.float32)
@@ -180,25 +189,33 @@ class ShardedServeIndex:
     def _build_knn(self, k: int):
         mesh = self.mesh
         n_valid = self.n
-        quantized = self.quantized
         gather = self._gather
-        extra = ((P("graph", None), P("graph")) if quantized else ())
 
-        def kernel(emb_local, rows, *qtabs):
-            q = gather(emb_local, rows, "graph")                 # [B, d]
-            if quantized:
-                sims = _local_scores_int8(qtabs[0], qtabs[1], q, rows,
-                                          n_valid, "graph")
-            else:
+        if self.quantized:
+            # int8: query rows arrive replicated (host-gathered — there
+            # is no f32 device table to collectively gather from)
+            def kernel(rows, q, values_local, scales_local):
+                sims = _local_scores_int8(values_local, scales_local, q,
+                                          rows, n_valid, "graph")
+                w_loc, i_loc = lax.top_k(sims, k)
+                my = lax.axis_index("graph")
+                n_loc = i_loc + my * values_local.shape[0]
+                return _rerank(w_loc, n_loc, k, "graph")
+
+            in_specs = (P(), P(), self._row_spec, P("graph"))
+        else:
+            def kernel(emb_local, rows):
+                q = gather(emb_local, rows, "graph")             # [B, d]
                 sims = _local_scores(emb_local, q, rows, n_valid, "graph")
-            w_loc, i_loc = lax.top_k(sims, k)
-            my = lax.axis_index("graph")
-            n_loc = i_loc + my * emb_local.shape[0]
-            return _rerank(w_loc, n_loc, k, "graph")
+                w_loc, i_loc = lax.top_k(sims, k)
+                my = lax.axis_index("graph")
+                n_loc = i_loc + my * emb_local.shape[0]
+                return _rerank(w_loc, n_loc, k, "graph")
+
+            in_specs = (self._row_spec, P())
 
         return jax.jit(jax.shard_map(
-            kernel, mesh=mesh,
-            in_specs=(self._row_spec, P()) + extra,
+            kernel, mesh=mesh, in_specs=in_specs,
             out_specs=(P(), P()),
             check_vma=False))
 
@@ -207,36 +224,47 @@ class ShardedServeIndex:
             raise ValueError("hybrid_knn needs nbhds= at construction")
         mesh = self.mesh
         n_valid = self.n
-        quantized = self.quantized
         gather = self._gather
-        extra = ((P("graph", None), P("graph")) if quantized else ())
 
-        def kernel(emb_local, nb_w_local, nb_n_local, rows, *qtabs):
-            q = gather(emb_local, rows, "graph")
-            head_w = gather(nb_w_local, rows, "graph")
-            head_n = gather(nb_n_local, rows, "graph")
-            if quantized:
-                sims = _local_scores_int8(qtabs[0], qtabs[1], q, rows,
-                                          n_valid, "graph")
-            else:
+        if self.quantized:
+            def kernel(nb_w_local, nb_n_local, rows, q,
+                       values_local, scales_local):
+                head_w = gather(nb_w_local, rows, "graph")
+                head_n = gather(nb_n_local, rows, "graph")
+                sims = _local_scores_int8(values_local, scales_local, q,
+                                          rows, n_valid, "graph")
+                w_loc, i_loc = lax.top_k(sims, k)
+                my = lax.axis_index("graph")
+                n_loc = i_loc + my * values_local.shape[0]
+                tail_w, tail_n = _rerank(w_loc, n_loc, k, "graph")
+                return merge_topk(head_w, head_n, tail_w, tail_n)
+
+            in_specs = (self._row_spec, self._row_spec, P(), P(),
+                        self._row_spec, P("graph"))
+        else:
+            def kernel(emb_local, nb_w_local, nb_n_local, rows):
+                q = gather(emb_local, rows, "graph")
+                head_w = gather(nb_w_local, rows, "graph")
+                head_n = gather(nb_n_local, rows, "graph")
                 sims = _local_scores(emb_local, q, rows, n_valid, "graph")
-            w_loc, i_loc = lax.top_k(sims, k)
-            my = lax.axis_index("graph")
-            n_loc = i_loc + my * emb_local.shape[0]
-            tail_w, tail_n = _rerank(w_loc, n_loc, k, "graph")
-            # replicated inputs -> the merge is identical on every device
-            return merge_topk(head_w, head_n, tail_w, tail_n)
+                w_loc, i_loc = lax.top_k(sims, k)
+                my = lax.axis_index("graph")
+                n_loc = i_loc + my * emb_local.shape[0]
+                tail_w, tail_n = _rerank(w_loc, n_loc, k, "graph")
+                # replicated inputs -> the merge is identical everywhere
+                return merge_topk(head_w, head_n, tail_w, tail_n)
+
+            in_specs = (self._row_spec, self._row_spec, self._row_spec,
+                        P())
 
         return jax.jit(jax.shard_map(
-            kernel, mesh=mesh,
-            in_specs=(self._row_spec, self._row_spec, self._row_spec,
-                      P()) + extra,
+            kernel, mesh=mesh, in_specs=in_specs,
             out_specs=(P(), P()),
             check_vma=False))
 
     # -------------------------------------------------------------- API
 
-    def _prep_rows(self, rows) -> tuple[jnp.ndarray, int]:
+    def _prep_rows(self, rows) -> tuple[np.ndarray, int]:
         rows = np.asarray(rows)
         if rows.size == 0:
             raise ValueError("empty query batch")
@@ -245,19 +273,23 @@ class ShardedServeIndex:
         b = 1 << (int(rows.size) - 1).bit_length()           # pow2 bucket
         padded = np.zeros((b,), np.int32)
         padded[: rows.size] = rows
-        return jnp.asarray(padded), rows.size
+        return padded, rows.size
 
     def knn_rows(self, rows, k: int = 10
                  ) -> tuple[np.ndarray, np.ndarray]:
         """[B] global query rows -> (weights [B, k], nodes [B, k]),
         self-excluded, ranked by cosine (or int8 cosine)."""
         k = max(min(k, self.k_cap), 1)
-        dev_rows, n_real = self._prep_rows(rows)
+        padded, n_real = self._prep_rows(rows)
         fn = self._knn_fn.get(())
         if fn is None:
             fn = self._knn_fn[()] = self._build_knn(self.k_cap)
-        args = ((self.q_values, self.q_scales) if self.quantized else ())
-        w, n = fn(self.unit, dev_rows, *args)
+        if self.quantized:
+            w, n = fn(jnp.asarray(padded),
+                      jnp.asarray(self.unit_host[padded]),
+                      self.q_values, self.q_scales)
+        else:
+            w, n = fn(self.unit, jnp.asarray(padded))
         return (np.asarray(w)[:n_real, :k], np.asarray(n)[:n_real, :k])
 
     def hybrid_knn_rows(self, rows, k: int = 10
@@ -265,16 +297,21 @@ class ShardedServeIndex:
         """[B] query rows -> hybrid (cached walk head + embedding tail)
         ranking, serve.HybridIndex cached-head semantics."""
         k = max(min(k, self.k_cap), 1)
-        dev_rows, n_real = self._prep_rows(rows)
+        padded, n_real = self._prep_rows(rows)
         fn = self._hybrid_fn.get(())
         if fn is None:
             fn = self._hybrid_fn[()] = self._build_hybrid(self.k_cap)
-        args = ((self.q_values, self.q_scales) if self.quantized else ())
-        w, n = fn(self.unit, self.nbhds[0], self.nbhds[1], dev_rows, *args)
+        if self.quantized:
+            w, n = fn(self.nbhds[0], self.nbhds[1], jnp.asarray(padded),
+                      jnp.asarray(self.unit_host[padded]),
+                      self.q_values, self.q_scales)
+        else:
+            w, n = fn(self.unit, self.nbhds[0], self.nbhds[1],
+                      jnp.asarray(padded))
         return (np.asarray(w)[:n_real, :k], np.asarray(n)[:n_real, :k])
 
 
-class ShardedServingFrontend:
+class ShardedServingFrontend(TrackResolverMixin):
     """serve.py-compatible facade over a `ShardedServeIndex`.
 
     Exposes the `EmbeddingIndex` query surface (`n`, `dim`, `track_ids`,
@@ -317,18 +354,9 @@ class ShardedServingFrontend:
                      ) -> list[list[dict]]:
         out = []
         for wi, ni in zip(w, n):
-            keep = np.isfinite(wi)
-            row = []
-            for score, idx in zip(wi[keep][:k], ni[keep][:k]):
-                tid = self.track_ids[int(idx)]
-                item = {"track": tid, "index": int(idx),
-                        "score": round(float(score), 6)}
-                meta = self.tracks_meta.get(tid)
-                if meta:
-                    item["name"] = meta.get("name")
-                    item["artist"] = meta.get("artist")
-                row.append(item)
-            out.append(row)
+            keep = np.isfinite(wi)           # drop degenerate -inf fills
+            out.append([self._format_item(score, idx)
+                        for score, idx in zip(wi[keep][:k], ni[keep][:k])])
         return out
 
     def add_tracks(self, embeddings, track_ids=None, tracks_meta=None):
@@ -352,30 +380,3 @@ class ShardedServingFrontend:
 
     def embed(self, row: int) -> np.ndarray:
         return np.asarray(self.index.unit_host[row])
-
-    def resolve(self, params: dict) -> int:
-        if "index" in params:
-            row = int(params["index"][0])
-            if not 0 <= row < self.n:
-                raise KeyError(f"index {row} out of range")
-            return row
-        tid = params["track"][0]
-        if tid not in self.row_of:
-            raise KeyError(f"unknown track {tid!r}")
-        return self.row_of[tid]
-
-    def resolve_many(self, params: dict) -> list[int]:
-        if "indices" in params:
-            rows = [int(x) for x in params["indices"][0].split(",") if x]
-            for row in rows:
-                if not 0 <= row < self.n:
-                    raise KeyError(f"index {row} out of range")
-        else:
-            rows = []
-            for tid in params["tracks"][0].split(","):
-                if tid not in self.row_of:
-                    raise KeyError(f"unknown track {tid!r}")
-                rows.append(self.row_of[tid])
-        if not rows:
-            raise ValueError("empty query list")
-        return rows

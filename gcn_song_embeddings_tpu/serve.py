@@ -190,7 +190,54 @@ def _query_topk_batch_delta_int8(values: jnp.ndarray, scales: jnp.ndarray,
     return jax.lax.top_k(jnp.concatenate([sims_m, sims_d], axis=1), k + 1)
 
 
-class EmbeddingIndex:
+class TrackResolverMixin:
+    """Query-param resolution + result formatting shared by every
+    serving index (EmbeddingIndex/HybridIndex here, and
+    parallel.ShardedServingFrontend): needs `n`, `track_ids`, `row_of`,
+    `tracks_meta` on self.  One implementation so the HTTP query-param
+    semantics cannot drift between the single-chip and sharded
+    surfaces."""
+
+    def _format_item(self, score: float, idx: int) -> dict:
+        tid = self.track_ids[int(idx)]
+        item = {"track": tid, "index": int(idx),
+                "score": round(float(score), 6)}
+        meta = self.tracks_meta.get(tid)
+        if meta:
+            item["name"] = meta.get("name")
+            item["artist"] = meta.get("artist")
+        return item
+
+    def resolve(self, params: dict) -> int:
+        if "index" in params:
+            row = int(params["index"][0])
+            if not 0 <= row < self.n:
+                raise KeyError(f"index {row} out of range")
+            return row
+        tid = params["track"][0]
+        if tid not in self.row_of:
+            raise KeyError(f"unknown track {tid!r}")
+        return self.row_of[tid]
+
+    def resolve_many(self, params: dict) -> list[int]:
+        """Comma-separated `tracks=` / `indices=` query params -> rows."""
+        if "indices" in params:
+            rows = [int(x) for x in params["indices"][0].split(",") if x]
+            for row in rows:
+                if not 0 <= row < self.n:
+                    raise KeyError(f"index {row} out of range")
+        else:
+            rows = []
+            for tid in params["tracks"][0].split(","):
+                if tid not in self.row_of:
+                    raise KeyError(f"unknown track {tid!r}")
+                rows.append(self.row_of[tid])
+        if not rows:
+            raise ValueError("empty query list")
+        return rows
+
+
+class EmbeddingIndex(TrackResolverMixin):
     """Device-resident kNN index over a track embedding matrix.
 
     quantized=True stores the table as int8 rows + per-row scales (4x less
@@ -231,11 +278,14 @@ class EmbeddingIndex:
         # fixed top-k width: every batched device call computes
         # top-(k_cap+1) so the jit cache has ONE entry per batch bucket,
         # not one per distinct requested k
+        self._k_cap_req = k_cap       # re-clamped when the catalog grows
         self.k_cap = max(min(k_cap, self.n - 1), 1)
         self.track_ids = list(track_ids) if track_ids else [
             str(i) for i in range(self.n)]
         self.row_of = {tid: i for i, tid in enumerate(self.track_ids)}
-        self.tracks_meta = tracks_meta or {}
+        # copy: add_tracks updates this — never mutate the caller's dict
+        # (from_run passes graph.tracks)
+        self.tracks_meta = dict(tracks_meta) if tracks_meta else {}
         # online catalog adds (add_tracks): new rows live in a
         # power-of-two device delta buffer scored alongside the main
         # table in the same dispatch until compact() folds them in
@@ -284,6 +334,10 @@ class EmbeddingIndex:
         if tracks_meta:
             self.tracks_meta.update(tracks_meta)
         self.n += m
+        # a grown catalog can serve wider lists: re-clamp to the
+        # requested cap (a k_cap change is a one-time jit re-entry)
+        self.k_cap = max(min(self._k_cap_req, self.n - 1), 1)
+        assert self._n_main + len(self._delta_host) == self.n
         # (re)upload the delta at its power-of-two capacity
         cap = 1 << (len(self._delta_host) - 1).bit_length()
         buf = np.zeros((cap, self.dim), np.float32)
@@ -348,17 +402,8 @@ class EmbeddingIndex:
         # duplicate into slot 0 and the query into slot 1)
         keep = n != row
         w, n = w[keep][:k], n[keep][:k]
-        out = []
-        for score, idx in zip(np.asarray(w), np.asarray(n)):
-            tid = self.track_ids[int(idx)]
-            item = {"track": tid, "index": int(idx),
-                    "score": round(float(score), 6)}
-            meta = self.tracks_meta.get(tid)
-            if meta:
-                item["name"] = meta.get("name")
-                item["artist"] = meta.get("artist")
-            out.append(item)
-        return out
+        return [self._format_item(score, idx)
+                for score, idx in zip(np.asarray(w), np.asarray(n))]
 
     def knn_rows(self, rows: np.ndarray, k: int = 10) -> list[list[dict]]:
         """Batched kNN: ONE device call for all query rows.
@@ -407,34 +452,6 @@ class EmbeddingIndex:
 
     def embed(self, row: int) -> np.ndarray:
         return np.asarray(self.unit_host[row])
-
-    def resolve(self, params: dict) -> int:
-        if "index" in params:
-            row = int(params["index"][0])
-            if not 0 <= row < self.n:
-                raise KeyError(f"index {row} out of range")
-            return row
-        tid = params["track"][0]
-        if tid not in self.row_of:
-            raise KeyError(f"unknown track {tid!r}")
-        return self.row_of[tid]
-
-    def resolve_many(self, params: dict) -> list[int]:
-        """Comma-separated `tracks=` / `indices=` query params -> rows."""
-        if "indices" in params:
-            rows = [int(x) for x in params["indices"][0].split(",") if x]
-            for row in rows:
-                if not 0 <= row < self.n:
-                    raise KeyError(f"index {row} out of range")
-        else:
-            rows = []
-            for tid in params["tracks"][0].split(","):
-                if tid not in self.row_of:
-                    raise KeyError(f"unknown track {tid!r}")
-                rows.append(self.row_of[tid])
-        if not rows:
-            raise ValueError("empty query list")
-        return rows
 
 
 class HybridIndex(EmbeddingIndex):
