@@ -301,12 +301,71 @@ def measure_gather_rates(widths=(256, 512, 1024), n_idx=N_TRACKS * T,
 GATHER_PASSES = 3
 
 
-def roofline_predict(gather_rates: dict) -> tuple[float, float]:
-    """(predicted gather seconds, predicted matmul seconds) per
-    FLOP-bound train step, from the measured gather row rates and the
-    no-gather MXU ceiling.  Layer input widths at the FB shape:
-    FEAT_DIM then FB_OUT (the fullgraph forward gathers N*T rows of the
-    running h per layer)."""
+def measure_stream_bw(n_f32: int = 64 * 1024 * 1024,
+                      reps_small: int = 2, reps_large: int = 10) -> float:
+    """Measured dense HBM streaming read bandwidth (bytes/s): a scanned
+    fused multiply-reduce over a 256 MB resident array (one read pass per
+    rep, nothing written back), diff-timed like every other arm.  Feeds
+    the activation-traffic term of the roofline."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial as _partial
+
+    x = jnp.ones((n_f32,), jnp.float32)
+
+    @_partial(jax.jit, static_argnames=("reps",))
+    def run(x, reps):
+        def body(acc, i):
+            # scale by i so the scan body can't be hoisted/CSE'd
+            return acc + jnp.sum(x * (1.0 + 1e-9 * i.astype(jnp.float32))), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(reps, dtype=jnp.int32))
+        return acc
+
+    float(run(x, reps_small))
+    float(run(x, reps_large))
+    diffs = []
+    for _ in range(REPS):
+        t0 = time.time()
+        float(run(x, reps_small))
+        t_small = time.time() - t0
+        t0 = time.time()
+        float(run(x, reps_large))
+        t_large = time.time() - t0
+        diffs.append((t_large - t_small) / (reps_large - reps_small))
+    bw = n_f32 * 4 / float(np.median(diffs))
+    log(f"stream read bandwidth: {bw / 1e9:.0f} GB/s")
+    return bw
+
+
+def flopbound_activation_bytes() -> int:
+    """HBM traffic of the FB step's saved intermediates: each layer's Q
+    activation [N*T, hidden] and W concat/output are written by the
+    forward and re-read by the backward (2 passes).  The no-gather MXU
+    ceiling already includes writing ONE matmul output, so this term
+    models only the save-and-reload traffic the training step adds on
+    top of it — an approximation (XLA may rematerialize or fuse some of
+    these), which is why the ratio is published rather than asserted to
+    be exactly 1."""
+    rows = N_TRACKS * T
+    total = 0
+    d_in = FEAT_DIM
+    for _ in range(FB_LAYERS):
+        total += 2 * rows * FB_HIDDEN * 4              # Q activation
+        total += 2 * N_TRACKS * (d_in + FB_HIDDEN) * 4  # W concat input
+        total += 2 * N_TRACKS * FB_OUT * 4             # layer output h
+        d_in = FB_OUT
+    return total
+
+
+def roofline_predict(gather_rates: dict, stream_bw: float
+                     ) -> tuple[float, float, float]:
+    """(gather, matmul, activation) predicted seconds per FLOP-bound
+    train step, from the measured gather row rates, the no-gather MXU
+    ceiling, and the measured streaming bandwidth.  Layer input widths
+    at the FB shape: FEAT_DIM then FB_OUT (the fullgraph forward gathers
+    N*T rows of the running h per layer)."""
     dims = [FEAT_DIM] + [FB_OUT] * (FB_LAYERS - 1)
     rows = N_TRACKS * T
 
@@ -324,7 +383,8 @@ def roofline_predict(gather_rates: dict) -> tuple[float, float]:
 
     gather_s = GATHER_PASSES * sum(rows / rate(d) for d in dims)
     matmul_s = flopbound_matmul_flops(N_TRACKS) / (V5E_CEILING_TFLOPS * 1e12)
-    return gather_s, matmul_s
+    act_s = flopbound_activation_bytes() / stream_bw
+    return gather_s, matmul_s, act_s
 
 
 def measure_torch_baseline(features, nb_w, nb_n, positives) -> float:
@@ -477,15 +537,19 @@ def main() -> None:
     # measured gather time + ceiling matmul time; ratio ~ 1.0-1.2 says
     # the 41%-MFU decomposition is arithmetic, not prose
     gather_rates = measure_gather_rates()
-    gather_pred_s, matmul_pred_s = roofline_predict(gather_rates)
-    roofline_ratio = fb_per_batch / (gather_pred_s + matmul_pred_s)
+    stream_bw = measure_stream_bw()
+    gather_pred_s, matmul_pred_s, act_pred_s = roofline_predict(
+        gather_rates, stream_bw)
+    pred_s = gather_pred_s + matmul_pred_s + act_pred_s
+    roofline_ratio = fb_per_batch / pred_s
     wide_ratio = gather_rates[512] / gather_rates[1024]
-    log(f"roofline: predicted {1e3 * (gather_pred_s + matmul_pred_s):.2f} "
+    log(f"roofline: predicted {1e3 * pred_s:.2f} "
         f"ms (gather {1e3 * gather_pred_s:.2f} + matmul "
-        f"{1e3 * matmul_pred_s:.2f}) vs measured "
+        f"{1e3 * matmul_pred_s:.2f} + activations "
+        f"{1e3 * act_pred_s:.2f}) vs measured "
         f"{1e3 * fb_per_batch:.2f} ms -> ratio {roofline_ratio:.3f}; "
         f"wide-row control rate512/rate1024 = {wide_ratio:.2f} "
-        f"(~1 = descriptor-bound)")
+        f"(~1 = descriptor-bound, ~2 = byte-bound)")
     value = eps / per_batch
     vs = base_per_batch / per_batch
     print(json.dumps({"metric": "train_edges_per_s_chip",
@@ -502,7 +566,9 @@ def main() -> None:
                       "flopbound_roofline_ratio": round(roofline_ratio, 3),
                       "roofline_pred_ms": {
                           "gather": round(gather_pred_s * 1e3, 3),
-                          "matmul": round(matmul_pred_s * 1e3, 3)},
+                          "matmul": round(matmul_pred_s * 1e3, 3),
+                          "activations": round(act_pred_s * 1e3, 3)},
+                      "hbm_stream_gbps": round(stream_bw / 1e9, 1),
                       "gather_mrows_per_s": {
                           str(d): round(r / 1e6, 1)
                           for d, r in gather_rates.items()},
