@@ -131,21 +131,19 @@ def sample_neighborhood_topt_tables(tables, nodeset: jnp.ndarray,
     return visit_counts_topt(trace, nodeset, T)
 
 
-@partial(jax.jit, static_argnames=("n_hops", "T", "batch", "n_blocks",
-                                   "n_chains", "fused"))
-def _neighborhood_sweep_blocks(graph: DeviceGraph, start: jnp.ndarray,
-                               n_items: int, n_hops: int, alpha: float,
-                               T: int, key: jax.Array, batch: int,
-                               n_blocks: int, n_chains: int = 1,
-                               fused: bool = True):
-    """`n_blocks` consecutive walk+top-T batches in one dispatch
-    (lax.scan) — amortizes per-dispatch latency over large catalogs."""
-    offsets = jnp.arange(batch, dtype=jnp.int32)
-    # edge tables built once per dispatch, outside the block scan
+def _sweep_scan(graph: DeviceGraph, nodeset_of, n_hops: int,
+                alpha: float, T: int, key: jax.Array, n_blocks: int,
+                n_chains: int, fused: bool):
+    """Shared body of the two sweep entry points: edge tables built once
+    per dispatch, then `n_blocks` walk+top-T batches under one lax.scan
+    (amortizes per-dispatch latency).  `nodeset_of(i)` supplies block i's
+    [batch] origin ids — an arithmetic range for the contiguous all-node
+    sweep, a dynamic slice of an explicit array for the incremental
+    refresh."""
     tables = (fused_walk_tables(graph) if fused else walk_tables(graph))
 
     def block(_, i):
-        nodeset = (start + i * batch + offsets) % n_items
+        nodeset = nodeset_of(i)
         bkey = jax.random.fold_in(key, i)
         if fused:
             trace = walks_from_fused_tables(tables, nodeset, n_hops,
@@ -157,7 +155,22 @@ def _neighborhood_sweep_blocks(graph: DeviceGraph, start: jnp.ndarray,
 
     _, (w, n) = jax.lax.scan(block, None,
                              jnp.arange(n_blocks, dtype=jnp.int32))
-    return w.reshape(n_blocks * batch, T), n.reshape(n_blocks * batch, T)
+    return w.reshape(-1, T), n.reshape(-1, T)
+
+
+@partial(jax.jit, static_argnames=("n_hops", "T", "batch", "n_blocks",
+                                   "n_chains", "fused"))
+def _neighborhood_sweep_blocks(graph: DeviceGraph, start: jnp.ndarray,
+                               n_items: int, n_hops: int, alpha: float,
+                               T: int, key: jax.Array, batch: int,
+                               n_blocks: int, n_chains: int = 1,
+                               fused: bool = True):
+    """All-node sweep over consecutive id ranges (block i covers
+    [start + i*batch, ...) mod n_items) — see _sweep_scan."""
+    offsets = jnp.arange(batch, dtype=jnp.int32)
+    return _sweep_scan(
+        graph, lambda i: (start + i * batch + offsets) % n_items,
+        n_hops, alpha, T, key, n_blocks, n_chains, fused)
 
 
 def precompute_neighborhoods(graph: DeviceGraph, cfg: WalkConfig,
@@ -217,25 +230,13 @@ def _neighborhood_sweep_nodeset(graph: DeviceGraph, origins: jnp.ndarray,
                                 n_hops: int, alpha: float, T: int,
                                 key: jax.Array, batch: int, n_blocks: int,
                                 n_chains: int = 1, fused: bool = True):
-    """Like _neighborhood_sweep_blocks, but over an EXPLICIT
-    [batch * n_blocks] origin array instead of a contiguous id range —
-    the incremental refresh sweeps only affected origins."""
-    tables = (fused_walk_tables(graph) if fused else walk_tables(graph))
-
-    def block(_, i):
-        nodeset = jax.lax.dynamic_slice_in_dim(origins, i * batch, batch)
-        bkey = jax.random.fold_in(key, i)
-        if fused:
-            trace = walks_from_fused_tables(tables, nodeset, n_hops,
-                                            alpha, bkey, n_chains=n_chains)
-        else:
-            trace = walks_from_tables(tables, graph, nodeset, n_hops,
-                                      alpha, bkey, n_chains=n_chains)
-        return None, visit_counts_topt(trace, nodeset, T)
-
-    _, (w, n) = jax.lax.scan(block, None,
-                             jnp.arange(n_blocks, dtype=jnp.int32))
-    return w.reshape(n_blocks * batch, T), n.reshape(n_blocks * batch, T)
+    """Sweep over an EXPLICIT [batch * n_blocks] origin array instead of
+    a contiguous id range (the incremental refresh walks only affected
+    origins) — see _sweep_scan."""
+    return _sweep_scan(
+        graph,
+        lambda i: jax.lax.dynamic_slice_in_dim(origins, i * batch, batch),
+        n_hops, alpha, T, key, n_blocks, n_chains, fused)
 
 
 def affected_origins(old_w: np.ndarray, old_n: np.ndarray,
