@@ -55,6 +55,11 @@ def main() -> None:
     ap.add_argument("--cached-head", action="store_true",
                     help="hybrid walk head from a precomputed artifact "
                          "(offline sweep first; no per-query walks)")
+    ap.add_argument("--adds", type=int, default=0,
+                    help="measure online adds: N POST /add batches of 16 "
+                         "tracks through the live server, with query "
+                         "latency re-measured while the delta is "
+                         "outstanding (embedding index only)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU platform (the axon sitecustomize "
                          "overrides JAX_PLATFORMS, so an env var is not "
@@ -203,6 +208,37 @@ def main() -> None:
            "qps": round(args.batch / pct(blat, 50), 1)}
     log("batched:", bat)
 
+    # --- online adds (POST /add) ----------------------------------------
+    adds = None
+    if args.adds:
+        assert not args.hybrid, "--adds measures the embedding index"
+        alat = []
+        for i in range(args.adds):
+            vecs = rng.normal(size=(16, args.dim)).astype(np.float32)
+            body = json.dumps({"tracks": [
+                {"track": f"new_{i}_{j}", "embedding": v.tolist()}
+                for j, v in enumerate(vecs)]}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/add", data=body,
+                headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            res = json.loads(urllib.request.urlopen(req, timeout=600).read())
+            alat.append(time.perf_counter() - t0)
+            assert res["tracks"] == args.tracks + 16 * (i + 1)
+        # query latency with the delta outstanding (delta-aware kernel),
+        # querying one of the freshly added rows
+        qlat = []
+        for _ in range(args.queries):
+            t0 = time.perf_counter()
+            res = get(f"/knn?track=new_0_0&k=10")
+            qlat.append(time.perf_counter() - t0)
+            assert len(res["neighbors"]) == 10
+        adds = {"batches": args.adds, "rows_per_batch": 16,
+                "add_p50_ms": round(1e3 * pct(alat, 50), 2),
+                "add_p99_ms": round(1e3 * pct(alat, 99), 2),
+                "query_with_delta_p50_ms": round(1e3 * pct(qlat, 50), 2)}
+        log("adds:", adds)
+
     server.shutdown()
     server.server_close()
     print(json.dumps({
@@ -212,7 +248,8 @@ def main() -> None:
             "cached_head": args.cached_head}
            if args.hybrid else {}),
         "platform": str(jax.devices()[0]),
-        "sequential": seq, "concurrent": conc, "batched": bat}))
+        "sequential": seq, "concurrent": conc, "batched": bat,
+        **({"online_adds": adds} if adds else {})}))
 
 
 if __name__ == "__main__":
