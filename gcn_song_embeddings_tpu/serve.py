@@ -795,8 +795,57 @@ def main() -> None:
                          "neighborhoods artifact (no per-query walks: "
                          "deterministic, embedding-class latency; "
                          "sweeps the artifact first if absent)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="row-shard the catalog over ALL local devices "
+                         "(parallel.ShardedServeIndex; for catalogs past "
+                         "one device's HBM).  Combines with --int8 and, "
+                         "via --hybrid --cached-head, with the hybrid "
+                         "ranker; live-walk --hybrid is single-chip only")
     args = ap.parse_args()
     graph = SongGraph(args.dataset) if args.dataset else None
+    if args.sharded:
+        import os
+
+        from gcn_song_embeddings_tpu.parallel.serve_sharded import (
+            ShardedServeIndex,
+            ShardedServingFrontend,
+        )
+
+        nbhds = None
+        if args.hybrid:
+            if not args.cached_head:
+                ap.error("--sharded --hybrid requires --cached-head "
+                         "(per-query walk scans don't shard)")
+            if graph is None:
+                ap.error("--hybrid requires --dataset")
+            from gcn_song_embeddings_tpu.config import WalkConfig
+            from gcn_song_embeddings_tpu.data.device import (
+                DeviceGraph,
+                apply_colisten_config,
+            )
+            from gcn_song_embeddings_tpu.ops.ppr import (
+                precompute_neighborhoods,
+            )
+
+            train_pos, _ = graph.load_positives_split(
+                os.path.join(args.dataset, "positives.json"))
+            wcfg = WalkConfig(colisten_copies=args.colisten)
+            dg, nb_path = apply_colisten_config(
+                DeviceGraph.from_graph(graph), train_pos, wcfg,
+                os.path.join(args.dataset, "neighborhoods.npz"))
+            nbhds = precompute_neighborhoods(dg, wcfg, nb_path,
+                                             verbose=True)
+        sindex = ShardedServeIndex(np.load(args.emb), nbhds=nbhds,
+                                   quantized=args.int8)
+        index = ShardedServingFrontend(
+            sindex,
+            track_ids=graph.track_ids if graph else None,
+            tracks_meta=graph.tracks if graph else None)
+        index.knn_rows(np.arange(min(2, index.n)), 10)   # warm a bucket
+        print(f"serving {index.n} tracks on :{args.port} "
+              f"(sharded over {sindex.mesh.shape['graph']} devices)")
+        serve(index, port=args.port).serve_forever()
+        return
     if args.hybrid:
         import os
 
