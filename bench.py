@@ -272,9 +272,7 @@ def measure_gather_rates(widths=(256, 512, 1024), n_idx=N_TRACKS * T,
                               jnp.arange(reps, dtype=jnp.int32))
         return acc
 
-    rates = {}
-    for d in widths:
-        h = jnp.asarray(rng.normal(size=(N_TRACKS, d)).astype(np.float32))
+    def measure(h, d, bytes_per_el):
         float(run(h, idx, reps_small))           # compile both variants
         float(run(h, idx, reps_large))
         diffs = []
@@ -286,11 +284,24 @@ def measure_gather_rates(widths=(256, 512, 1024), n_idx=N_TRACKS * T,
             float(run(h, idx, reps_large))
             t_large = time.time() - t0
             diffs.append((t_large - t_small) / (reps_large - reps_small))
-        per_rep = float(np.median(diffs))
-        rates[d] = n_idx / per_rep
-        log(f"gather rate d={d}: {rates[d] / 1e6:.1f}M rows/s "
-            f"({rates[d] * d * 4 / 1e9:.0f} GB/s)")
-    return rates
+        rate = n_idx / float(np.median(diffs))
+        log(f"gather rate d={d} ({bytes_per_el}B/el): "
+            f"{rate / 1e6:.1f}M rows/s "
+            f"({rate * d * bytes_per_el / 1e9:.0f} GB/s)")
+        return rate
+
+    rates = {}
+    rng2 = np.random.default_rng(8)
+    for d in widths:
+        h = jnp.asarray(rng2.normal(size=(N_TRACKS, d)).astype(np.float32))
+        rates[d] = measure(h, d, 4)
+    # bf16 arm: same row count and width at HALF the bytes — if the
+    # engine is byte-bound (wide-row control ~2), bf16 table rows should
+    # gather ~2x faster, making bf16 node tables a real lever
+    h16 = jnp.asarray(
+        rng2.normal(size=(N_TRACKS, 512))).astype(jnp.bfloat16)
+    rate_bf16 = measure(h16, 512, 2)
+    return rates, rate_bf16
 
 
 # HBM passes over the gathered neighbor rows per train step: the forward
@@ -316,8 +327,11 @@ def measure_stream_bw(n_f32: int = 64 * 1024 * 1024,
     @_partial(jax.jit, static_argnames=("reps",))
     def run(x, reps):
         def body(acc, i):
-            # scale by i so the scan body can't be hoisted/CSE'd
-            return acc + jnp.sum(x * (1.0 + 1e-9 * i.astype(jnp.float32))), None
+            # abs(x + i) is NONLINEAR in x: the algebraic simplifier
+            # cannot factor the reduce out of the scan (a linear
+            # sum(x * c_i) was rewritten to c_i * sum(x), hoisting the
+            # read and measuring 2185 "GB/s" — above the chip's HW peak)
+            return acc + jnp.sum(jnp.abs(x + i.astype(jnp.float32))), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0),
                               jnp.arange(reps, dtype=jnp.int32))
@@ -536,20 +550,22 @@ def main() -> None:
     # machine-checked roofline (VERDICT r4 item 3): predicted FB step =
     # measured gather time + ceiling matmul time; ratio ~ 1.0-1.2 says
     # the 41%-MFU decomposition is arithmetic, not prose
-    gather_rates = measure_gather_rates()
+    gather_rates, gather_rate_bf16_512 = measure_gather_rates()
     stream_bw = measure_stream_bw()
     gather_pred_s, matmul_pred_s, act_pred_s = roofline_predict(
         gather_rates, stream_bw)
     pred_s = gather_pred_s + matmul_pred_s + act_pred_s
     roofline_ratio = fb_per_batch / pred_s
     wide_ratio = gather_rates[512] / gather_rates[1024]
+    bf16_gather_ratio = gather_rate_bf16_512 / gather_rates[512]
     log(f"roofline: predicted {1e3 * pred_s:.2f} "
         f"ms (gather {1e3 * gather_pred_s:.2f} + matmul "
         f"{1e3 * matmul_pred_s:.2f} + activations "
         f"{1e3 * act_pred_s:.2f}) vs measured "
         f"{1e3 * fb_per_batch:.2f} ms -> ratio {roofline_ratio:.3f}; "
         f"wide-row control rate512/rate1024 = {wide_ratio:.2f} "
-        f"(~1 = descriptor-bound, ~2 = byte-bound)")
+        f"(~1 = descriptor-bound, ~2 = byte-bound); bf16 rows gather "
+        f"{bf16_gather_ratio:.2f}x f32 at d=512")
     value = eps / per_batch
     vs = base_per_batch / per_batch
     print(json.dumps({"metric": "train_edges_per_s_chip",
@@ -573,6 +589,7 @@ def main() -> None:
                           str(d): round(r / 1e6, 1)
                           for d, r in gather_rates.items()},
                       "gather_wide_row_ratio": round(wide_ratio, 3),
+                      "gather_bf16_row_ratio": round(bf16_gather_ratio, 3),
                       "flopbound_config": f"L{FB_LAYERS}-h{FB_HIDDEN}-"
                                           f"o{FB_OUT}-B{FB_BATCH}-"
                                           f"fullgraph"}))

@@ -212,11 +212,18 @@ def fullgraph_embeddings(params: PinSageParams, features: jnp.ndarray,
     nb_n = nbhd_nodes[:, :T].astype(jnp.int32)
     n = features.shape[0]
     h = features
+    # Mixed precision: conv_apply accumulates in f32
+    # (preferred_element_type), but the RUNNING h is stored back at the
+    # feature dtype — under train.dtype=bfloat16 every layer's [N, T]-row
+    # gather moves half the bytes (the gather engine is byte-bound:
+    # bench.py gather_bf16_row_ratio ~2) and the saved residuals halve
+    # too.  A no-op for f32 features.
+    store_dtype = features.dtype
     for l in range(n_layers):
         p = params.layers[l]
         if n <= block_rows:
             h_nb = h[nb_n.reshape(-1)].reshape(n, T, h.shape[1])
-            h = conv_apply(p, h, h_nb, nb_w)
+            h = conv_apply(p, h, h_nb, nb_w).astype(store_dtype)
         else:
             # million-scale sweep: one [N, T, D] intermediate would be
             # several GB, so run the layer as a lax.map over row blocks
@@ -228,7 +235,8 @@ def fullgraph_embeddings(params: PinSageParams, features: jnp.ndarray,
                 ids = jnp.minimum(i * block_rows + offs, n - 1)
                 h_nb = h[nb_n[ids].reshape(-1)].reshape(
                     block_rows, T, h.shape[1])
-                return conv_apply(p, h[ids], h_nb, nb_w[ids])
+                return conv_apply(p, h[ids], h_nb,
+                                  nb_w[ids]).astype(store_dtype)
 
             h = jax.lax.map(blk, jnp.arange(nblk, dtype=jnp.int32)
                             ).reshape(nblk * block_rows, -1)[:n]

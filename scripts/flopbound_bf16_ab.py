@@ -5,9 +5,16 @@ measured 38.1 TFLOP/s f32 = 41% of the no-gather ceiling; the op mix
 there is part gather/HBM traffic, part matmul.  `train.dtype="bfloat16"`
 halves both the gathered bytes and the matmul time (MXU native width) —
 this script runs bench.measure_flopbound (THE bench harness, not a copy)
-at both dtypes and writes results/flopbound_bf16.json.  Measured outcome
-(RESULTS.md): NEUTRAL, 1.006x — the scattered-row gather engine is
-descriptor-rate-limited, not byte-limited.
+at both dtypes and writes results/flopbound_bf16.json.
+
+History: round 4 measured NEUTRAL (1.006x) and read it as evidence for
+a descriptor-rate-limited gather engine.  Round 5's direct controls
+refuted that reading twice over: the wide-row control (~2x) and the
+bf16-row gather rate (~1.95x) show the engine is BYTE-bound — the round-4
+neutrality was a bug: conv_apply's preferred_element_type=f32 upcast the
+running h after layer 0, so only the FIRST layer's gather was ever bf16.
+fullgraph_embeddings now stores h back at the feature dtype between
+layers (f32 unchanged); this script measures the honest bf16 effect.
 
 Usage: python scripts/flopbound_bf16_ab.py
 """
