@@ -547,6 +547,20 @@ def main() -> None:
                                                     positives)
     fb_per_batch, fb_tflops = measure_flopbound(features, nb_w, nb_n,
                                                 positives)
+    # Contiguous-neighbor control: SAME jitted step (no recompile — only
+    # the id data changes), neighbor ids = consecutive rows, so every
+    # "gather" is a near-stream.  step_contig ~= step_random says the
+    # random-gather traffic is hidden under compute (the shape is
+    # matmul-bound at its effective rate); step_contig << step_random
+    # says the gathers are exposed on the critical path.
+    nb_n_contig = ((np.arange(N_TRACKS, dtype=np.int64)[:, None]
+                    + np.arange(nb_n.shape[1])[None, :])
+                   % N_TRACKS).astype(np.int32)
+    fb_c_per_batch, _ = measure_flopbound(features, nb_w, nb_n_contig,
+                                          positives)
+    log(f"flopbound contiguous-gather control: {fb_c_per_batch*1e3:.3f} "
+        f"ms vs random {fb_per_batch*1e3:.3f} ms -> exposed gather "
+        f"share {(1 - fb_c_per_batch/fb_per_batch)*100:.0f}%")
     # machine-checked roofline (VERDICT r4 item 3): predicted FB step =
     # measured gather time + ceiling matmul time; ratio ~ 1.0-1.2 says
     # the 41%-MFU decomposition is arithmetic, not prose
@@ -579,6 +593,8 @@ def main() -> None:
                       "flopbound_mfu_vs_ceiling": round(
                           fb_tflops / V5E_CEILING_TFLOPS, 3),
                       "flopbound_step_ms": round(fb_per_batch * 1e3, 3),
+                      "flopbound_contig_step_ms": round(
+                          fb_c_per_batch * 1e3, 3),
                       "flopbound_roofline_ratio": round(roofline_ratio, 3),
                       "roofline_pred_ms": {
                           "gather": round(gather_pred_s * 1e3, 3),
