@@ -213,6 +213,8 @@ class TrackResolverMixin:
             row = int(params["index"][0])
             if not 0 <= row < self.n:
                 raise KeyError(f"index {row} out of range")
+            if row in getattr(self, "_tombstones", ()):
+                raise KeyError(f"index {row} was removed")
             return row
         tid = params["track"][0]
         if tid not in self.row_of:
@@ -223,9 +225,12 @@ class TrackResolverMixin:
         """Comma-separated `tracks=` / `indices=` query params -> rows."""
         if "indices" in params:
             rows = [int(x) for x in params["indices"][0].split(",") if x]
+            dead = getattr(self, "_tombstones", ())
             for row in rows:
                 if not 0 <= row < self.n:
                     raise KeyError(f"index {row} out of range")
+                if row in dead:
+                    raise KeyError(f"index {row} was removed")
         else:
             rows = []
             for tid in params["tracks"][0].split(","):
@@ -292,6 +297,55 @@ class EmbeddingIndex(TrackResolverMixin):
         self._n_main = self.n
         self._delta_host = np.zeros((0, self.dim), np.float32)
         self._delta_dev = None
+        # online removals (remove_tracks): tombstoned rows are zeroed
+        # (cosine EXACTLY 0 — below every positively-similar neighbor)
+        # and filtered from formatted results; row ids are never reused
+        self._tombstones: set[int] = set()
+
+    def remove_tracks(self, tracks) -> list[int]:
+        """Remove tracks from a LIVE index (no rebuild, no downtime).
+
+        Each removed row is tombstoned: its embedding is zeroed on
+        device (one fused row update; on int8 indexes the per-row scale
+        drops to 0 so its score is EXACTLY 0), it disappears from
+        formatted results and id resolution, and its row id is never
+        reused.  A zero row can only displace candidates with
+        non-positive cosine, so positively-similar top-k results are
+        unaffected.  Accepts track-id strings or integer rows; returns
+        the removed rows."""
+        rows = []
+        for t in tracks:
+            if isinstance(t, str):
+                if t not in self.row_of:
+                    raise KeyError(f"unknown track {t!r}")
+                rows.append(self.row_of[t])
+            else:
+                row = int(t)
+                if not 0 <= row < self.n:
+                    raise KeyError(f"index {row} out of range")
+                if row in self._tombstones:
+                    raise KeyError(f"row {row} already removed")
+                rows.append(row)
+        rows = sorted(set(rows))
+        self._tombstones.update(rows)
+        arr = np.asarray(rows, np.int32)
+        self.unit_host[arr] = 0.0
+        main = arr[arr < self._n_main]
+        delta = arr[arr >= self._n_main] - self._n_main
+        if delta.size:
+            self._delta_host[delta] = 0.0
+        if main.size:
+            if self.quantized:
+                self.q_values = self.q_values.at[jnp.asarray(main)].set(0)
+                self.q_scales = self.q_scales.at[jnp.asarray(main)].set(0.0)
+            else:
+                self.unit = self.unit.at[jnp.asarray(main)].set(0.0)
+        if delta.size and self._delta_dev is not None:
+            self._delta_dev = self._delta_dev.at[
+                jnp.asarray(delta)].set(0.0)
+        for row in rows:
+            self.row_of.pop(self.track_ids[row], None)
+        return rows
 
     def add_tracks(self, embeddings: np.ndarray,
                    track_ids: Optional[list[str]] = None,
@@ -373,6 +427,8 @@ class EmbeddingIndex(TrackResolverMixin):
         return cls(emb, quantized=quantized)
 
     def knn(self, row: int, k: int = 10) -> list[dict]:
+        if row in self._tombstones:
+            raise KeyError(f"index {row} was removed")
         if self._delta_dev is not None:
             # delta outstanding: the single-query kernels only see the
             # main table — route through the delta-aware batched path
@@ -401,6 +457,8 @@ class EmbeddingIndex(TrackResolverMixin):
         # filter self BY ID (duplicate embeddings can tie-break the
         # duplicate into slot 0 and the query into slot 1)
         keep = n != row
+        if self._tombstones:
+            keep &= ~np.isin(n, list(self._tombstones))
         w, n = w[keep][:k], n[keep][:k]
         return [self._format_item(score, idx)
                 for score, idx in zip(np.asarray(w), np.asarray(n))]
@@ -416,6 +474,9 @@ class EmbeddingIndex(TrackResolverMixin):
         if rows.min() < 0 or rows.max() >= self.n:
             # XLA clamps out-of-bounds gathers silently — fail loudly here
             raise IndexError(f"query rows outside [0, {self.n})")
+        if self._tombstones and np.isin(
+                rows, list(self._tombstones)).any():
+            raise KeyError("query row was removed")
         rows = rows.astype(np.int32)
         if self.n <= 3 and self._delta_dev is None:  # tiny: exact path
             return [self.knn(int(r), k) for r in rows]
@@ -612,11 +673,19 @@ class QueryBatcher:
         self._q.put(("__add__", (emb, track_ids, tracks_meta), fut))
         return fut.result()
 
+    def remove_tracks(self, tracks) -> list[int]:
+        """Online removal, serialized like adds (the row zeroing is a
+        device update)."""
+        fut: Future = Future()
+        self._q.put(("__remove__", (tracks,), fut))
+        return fut.result()
+
     def _do_add(self, item) -> None:
-        _, (emb, track_ids, tracks_meta), fut = item
+        op, args, fut = item
         try:
-            fut.set_result(self.index.add_tracks(emb, track_ids,
-                                                 tracks_meta))
+            fn = (self.index.add_tracks if op == "__add__"
+                  else self.index.remove_tracks)
+            fut.set_result(fn(*args))
         except Exception as e:
             fut.set_exception(e)
 
@@ -683,8 +752,10 @@ def make_handler(index: EmbeddingIndex, batcher: QueryBatcher | None = None):
             params = parse_qs(url.query)
             try:
                 if url.path == "/healthz":
-                    self._json(200, {"status": "ok", "tracks": index.n,
-                                     "dim": index.dim})
+                    self._json(200, {
+                        "status": "ok", "tracks": index.n,
+                        "dim": index.dim,
+                        "removed": len(getattr(index, "_tombstones", ()))})
                 elif url.path == "/knn":
                     k = min(int(params.get("k", ["10"])[0]), index.n - 1)
                     if "tracks" in params or "indices" in params:
@@ -712,13 +783,19 @@ def make_handler(index: EmbeddingIndex, batcher: QueryBatcher | None = None):
 
         def do_POST(self):  # noqa: N802 (http.server API)
             url = urlparse(self.path)
-            if url.path != "/add":
+            if url.path not in ("/add", "/remove"):
                 self._json(404, {"error": f"no route {url.path}"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length))
                 tracks = payload["tracks"]
+                if url.path == "/remove":
+                    rows = (batcher.remove_tracks(tracks) if batcher
+                            else index.remove_tracks(tracks))
+                    self._json(200, {"removed": rows,
+                                     "tracks": index.n})
+                    return
                 emb = np.asarray([t["embedding"] for t in tracks],
                                  dtype=np.float32)
                 ids = [t["track"] for t in tracks]
@@ -729,7 +806,7 @@ def make_handler(index: EmbeddingIndex, batcher: QueryBatcher | None = None):
                         else index.add_tracks(emb, ids, meta))
                 self._json(200, {"added": ids, "rows": rows,
                                  "tracks": index.n})
-            except (KeyError, ValueError, TypeError,
+            except (KeyError, ValueError, TypeError, AttributeError,
                     NotImplementedError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
 

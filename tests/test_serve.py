@@ -5,6 +5,7 @@ import threading
 import urllib.error
 import urllib.request
 
+import jax.numpy as jnp
 import numpy as np
 
 from gcn_song_embeddings_tpu.serve import EmbeddingIndex, serve
@@ -478,3 +479,87 @@ def test_hybrid_add_tracks_not_supported(graph, positives):
         raise AssertionError("hybrid add accepted")
     except NotImplementedError:
         pass
+
+
+def test_remove_tracks_tombstones():
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(300, 16)).astype(np.float32)
+    # make row 7 the exact duplicate of row 3 so it ranks top-1
+    idx = EmbeddingIndex(base, k_cap=32)
+    idx.unit_host[7] = idx.unit_host[3]
+    idx.unit = jnp.asarray(idx.unit_host)
+    assert idx.knn(3, 5)[0]["index"] == 7
+    removed = idx.remove_tracks([7])
+    assert removed == [7]
+    out = idx.knn(3, 5)
+    assert all(o["index"] != 7 for o in out)       # filtered from results
+    try:
+        idx.knn(7, 5)
+        raise AssertionError("query of removed row accepted")
+    except KeyError:
+        pass
+    try:
+        idx.remove_tracks([7])
+        raise AssertionError("double removal accepted")
+    except KeyError:
+        pass
+    # removal + delta adds compose; compact preserves tombstones
+    idx.add_tracks(base[:2] + 1.0, track_ids=["a1", "a2"])
+    idx.remove_tracks(["a1"])
+    out = idx.knn_rows(np.array([3, 301]), k=10)
+    flat = [o["index"] for row in out for o in row]
+    assert 300 not in flat and 7 not in flat
+    idx.compact()
+    out = idx.knn_rows(np.array([3, 301]), k=10)
+    flat = [o["index"] for row in out for o in row]
+    assert 300 not in flat and 7 not in flat
+
+
+def test_remove_tracks_int8_zero_scale():
+    rng = np.random.default_rng(22)
+    base = rng.normal(size=(256, 16)).astype(np.float32)
+    base[9] = base[4]                                # duplicate pair
+    idx = EmbeddingIndex(base, quantized=True, k_cap=16)
+    assert idx.knn(4, 5)[0]["index"] == 9
+    idx.remove_tracks([9])
+    out = idx.knn(4, 5)
+    assert all(o["index"] != 9 for o in out)
+    # removed rows score exactly 0 on the int8 path (scale zeroed)
+    assert float(np.asarray(idx.q_scales)[9]) == 0.0
+
+
+def test_http_remove_endpoint(graph):
+    index, emb = _index(graph)
+    server = serve(index, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        tid = graph.track_ids[11]
+        body = json.dumps({"tracks": [tid]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/remove", data=body)
+        with urllib.request.urlopen(req) as r:
+            res = json.loads(r.read())
+        assert res["removed"] == [11]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.loads(r.read())["removed"] == 1
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/knn?track={tid}&k=3")
+            raise AssertionError("removed track still resolvable")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/knn?index=11&k=3")
+            raise AssertionError("removed index still resolvable")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # everything else still serves
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/knn?index=5&k=3") as r:
+            assert len(json.loads(r.read())["neighbors"]) == 3
+    finally:
+        server.shutdown()
+        server.server_close()
