@@ -138,9 +138,19 @@ def conv_apply(p: ConvParams, h_self: jnp.ndarray, h_nb: jnp.ndarray,
     # revisit itself); the reference divides by zero here.
     denom = jnp.where(w_sum == 0.0, 1.0, w_sum) + eps
     agg = (nb_w[:, :, None] * q).sum(axis=1) / denom
-    concat = jnp.concatenate([h_self, agg], axis=1)
+    # The reference computes W @ concat([h_self, agg]); splitting the
+    # matmul over the concat boundary is the same math
+    # ([a, b] @ M.T == a @ M[:, :da].T + b @ M[:, da:].T) but never
+    # materializes the [B, Din+hidden] concat operand — measured 4.9%
+    # faster for the full fwd+bwd sweep at the FLOP-bound shape
+    # (results/fb_conv_split.json; the shape is compute-bound, so the
+    # win is matmul scheduling, not bytes).
+    d = h_self.shape[1]
     new_h = jax.nn.leaky_relu(
-        jnp.dot(concat, p.Ww.T, preferred_element_type=jnp.float32) + p.bw)
+        jnp.dot(h_self, p.Ww[:, :d].T,
+                preferred_element_type=jnp.float32)
+        + jnp.dot(agg, p.Ww[:, d:].T,
+                  preferred_element_type=jnp.float32) + p.bw)
     norm = jnp.linalg.norm(new_h, axis=1, keepdims=True)
     return new_h / jnp.where(norm == 0.0, 1.0, norm)
 
