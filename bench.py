@@ -313,11 +313,15 @@ GATHER_PASSES = 3
 
 
 def measure_stream_bw(n_f32: int = 64 * 1024 * 1024,
-                      reps_small: int = 2, reps_large: int = 10) -> float:
+                      reps_small: int = 20, reps_large: int = 200) -> float:
     """Measured dense HBM streaming read bandwidth (bytes/s): a scanned
-    fused multiply-reduce over a 256 MB resident array (one read pass per
-    rep, nothing written back), diff-timed like every other arm.  Feeds
-    the activation-traffic term of the roofline."""
+    nonlinear reduce over a 256 MB resident array (one read pass per rep,
+    nothing written back), diff-timed like every other arm.  Rep counts
+    are sized so the diff carries ~45 GB ≈ 60 ms of signal — with only 8
+    diff-reps the ~2.6 ms signal drowned in tunnel jitter and single
+    runs read 1100-2200 "GB/s", above the chip's HW peak.  Feeds the
+    activation-traffic term of the roofline (a sanity line — the
+    contiguous-gather control is the decisive instrument)."""
     import jax
     import jax.numpy as jnp
     from functools import partial as _partial
