@@ -8,6 +8,8 @@ Verbs:
   all      — prepare + train + eval (reference dashboard.py:175-192)
   stats    — dataset statistics (reference print_dataset_stats)
   grid     — hyperparameter grid search (reference grid_search.py)
+  serve    — HTTP serving layer (delegates to serve.py: embedding /
+             hybrid / sharded indexes, online add/remove)
 
 Usage:
   python -m gcn_song_embeddings_tpu.cli <verb> --dataset DIR [options]
@@ -18,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 
 
@@ -374,6 +377,22 @@ def main(argv=None) -> None:
                             help="json file: {param_path: [values, ...]}")
             sp.add_argument("--out", default="grid_search.json")
         sp.set_defaults(func=fn)
+
+    sp = sub.add_parser(
+        "serve", add_help=False,
+        help="start the HTTP serving layer (delegates to "
+             "gcn_song_embeddings_tpu.serve — see its --help)")
+    sp.set_defaults(func=None)
+
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "serve":
+        # delegate verbatim: serve owns its own argparse surface
+        from gcn_song_embeddings_tpu import serve as serve_mod
+
+        sys.argv = [f"{p.prog} serve"] + list(argv[1:])
+        serve_mod.main()
+        return
 
     args = p.parse_args(argv)
     from gcn_song_embeddings_tpu.utils.compile_cache import (
