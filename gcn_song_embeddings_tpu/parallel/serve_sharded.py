@@ -365,6 +365,11 @@ class ShardedServingFrontend(TrackResolverMixin):
             "range-partitioned); rebuild the ShardedServeIndex, or serve "
             "deltas from a single-chip EmbeddingIndex tier")
 
+    def remove_tracks(self, tracks):
+        raise NotImplementedError(
+            "online removals on a sharded index need a re-shard; "
+            "rebuild the ShardedServeIndex without the removed rows")
+
     def knn(self, row: int, k: int = 10) -> list[dict]:
         return self.knn_rows(np.asarray([row]), k)[0]
 

@@ -345,6 +345,15 @@ class EmbeddingIndex(TrackResolverMixin):
                 jnp.asarray(delta)].set(0.0)
         for row in rows:
             self.row_of.pop(self.track_ids[row], None)
+        if len(self._tombstones) > self.k_cap // 2:
+            import warnings
+
+            warnings.warn(
+                f"{len(self._tombstones)} tombstones vs top-k window "
+                f"{self.k_cap + 1}: queries whose live candidates have "
+                f"non-positive cosine may return short lists — rebuild "
+                f"the index to reclaim the slots", RuntimeWarning,
+                stacklevel=2)
         return rows
 
     def add_tracks(self, embeddings: np.ndarray,
@@ -391,7 +400,17 @@ class EmbeddingIndex(TrackResolverMixin):
         # a grown catalog can serve wider lists: re-clamp to the
         # requested cap (a k_cap change is a one-time jit re-entry)
         self.k_cap = max(min(self._k_cap_req, self.n - 1), 1)
-        assert self._n_main + len(self._delta_host) == self.n
+        if self._n_main + len(self._delta_host) != self.n:
+            raise RuntimeError("index bookkeeping corrupted: "
+                               f"{self._n_main} main + "
+                               f"{len(self._delta_host)} delta != {self.n}")
+        # bounded delta: past ~1/16 of the main table (min 1024 rows)
+        # fold automatically — the delta exists to amortize small adds,
+        # not to shadow the catalog (every add re-uploads the buffer and
+        # every query pays the two-matmul kernel while it is live)
+        if len(self._delta_host) >= max(1024, self._n_main // 16):
+            self.compact()
+            return rows
         # (re)upload the delta at its power-of-two capacity
         cap = 1 << (len(self._delta_host) - 1).bit_length()
         buf = np.zeros((cap, self.dim), np.float32)
@@ -474,9 +493,12 @@ class EmbeddingIndex(TrackResolverMixin):
         if rows.min() < 0 or rows.max() >= self.n:
             # XLA clamps out-of-bounds gathers silently — fail loudly here
             raise IndexError(f"query rows outside [0, {self.n})")
-        if self._tombstones and np.isin(
-                rows, list(self._tombstones)).any():
-            raise KeyError("query row was removed")
+        # a tombstoned QUERY row yields [] for that row only: raising
+        # would poison every other client coalesced into the same
+        # QueryBatcher batch when a /remove races a /knn (direct id
+        # lookups still 400 via resolve())
+        dead_q = (np.isin(rows, list(self._tombstones))
+                  if self._tombstones else np.zeros(rows.shape, bool))
         rows = rows.astype(np.int32)
         if self.n <= 3 and self._delta_dev is None:  # tiny: exact path
             return [self.knn(int(r), k) for r in rows]
@@ -508,7 +530,8 @@ class EmbeddingIndex(TrackResolverMixin):
             w, n = _query_topk_batch(self.unit, jnp.asarray(padded),
                                      self.k_cap)
         w, n = np.asarray(w), np.asarray(n)
-        return [self._format(w[i], n[i], int(rows[i]), k)
+        return [[] if dead_q[i] else self._format(w[i], n[i],
+                                                  int(rows[i]), k)
                 for i in range(rows.size)]
 
     def embed(self, row: int) -> np.ndarray:
@@ -596,6 +619,12 @@ class HybridIndex(EmbeddingIndex):
             return []
         if rows.min() < 0 or rows.max() >= self.n:
             raise IndexError(f"query rows outside [0, {self.n})")
+        if self._tombstones and np.isin(
+                rows, list(self._tombstones)).any():
+            # hybrid removal support is partial (the walk-head artifact
+            # still lists removed rows as candidates — filtered by
+            # _format); querying BY a removed row is always an error
+            raise KeyError("query row was removed")
         rows = rows.astype(np.int32)
         k = max(min(k, self.k_cap, self.n - 1), 1)
         b = 1 << (int(rows.size) - 1).bit_length()         # next pow2
@@ -806,8 +835,11 @@ def make_handler(index: EmbeddingIndex, batcher: QueryBatcher | None = None):
                         else index.add_tracks(emb, ids, meta))
                 self._json(200, {"added": ids, "rows": rows,
                                  "tracks": index.n})
-            except (KeyError, ValueError, TypeError, AttributeError,
+            except (KeyError, ValueError, TypeError,
                     NotImplementedError, json.JSONDecodeError) as e:
+                # TypeError covers malformed payload shapes (np.asarray
+                # of ragged embeddings); genuine server bugs surface as
+                # 500s with tracebacks instead of masquerading as 400s
                 self._json(400, {"error": str(e)})
 
     return Handler

@@ -43,10 +43,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from gcn_song_embeddings_tpu.models.pinsage import (
-        conv_apply,
-        init_pinsage,
-    )
+    from gcn_song_embeddings_tpu.models.pinsage import init_pinsage
     from gcn_song_embeddings_tpu.utils.compile_cache import (
         enable_compile_cache,
     )
@@ -61,6 +58,23 @@ def main() -> None:
     nb_w = jnp.asarray(np.sort(rng.random((N, T)).astype(np.float32),
                                axis=1)[:, ::-1].copy())
     params = init_pinsage(jax.random.PRNGKey(0), LAYERS, FEAT, HID, OUT)
+
+    def conv_concat(p, h_self, h_nb, w):
+        """The PRE-adoption conv: W applied to the materialized concat.
+        Kept inline as the A/B baseline — conv_apply itself now uses the
+        split form, so importing it would compare split vs split."""
+        q = jax.nn.leaky_relu(
+            jnp.einsum("btd,hd->bth", h_nb, p.Wq,
+                       preferred_element_type=jnp.float32) + p.bq)
+        w_sum = w.sum(axis=1, keepdims=True)
+        denom = jnp.where(w_sum == 0.0, 1.0, w_sum)
+        agg = (w[:, :, None] * q).sum(axis=1) / denom
+        concat = jnp.concatenate([h_self, agg], axis=1)
+        new_h = jax.nn.leaky_relu(
+            jnp.dot(concat, p.Ww.T,
+                    preferred_element_type=jnp.float32) + p.bw)
+        norm = jnp.linalg.norm(new_h, axis=1, keepdims=True)
+        return new_h / jnp.where(norm == 0.0, 1.0, norm)
 
     def conv_split(p, h_self, h_nb, w):
         """conv_apply with the W matmul split over the concat boundary
@@ -107,7 +121,7 @@ def main() -> None:
     ha = hb = h0
     for l in range(LAYERS):
         nb = ha[nb_n.reshape(-1)].reshape(N, T, ha.shape[1])
-        ha = conv_apply(params.layers[l], ha, nb, nb_w)
+        ha = conv_concat(params.layers[l], ha, nb, nb_w)
         nb2 = hb[nb_n.reshape(-1)].reshape(N, T, hb.shape[1])
         hb = conv_split(params.layers[l], hb, nb2, nb_w)
     err = float(jnp.max(jnp.abs(ha - hb)))
@@ -119,7 +133,7 @@ def main() -> None:
     assert err < 1e-2, err
 
     out = {}
-    for name, conv in (("concat", conv_apply), ("split", conv_split)):
+    for name, conv in (("concat", conv_concat), ("split", conv_split)):
         run = make_step(conv)
         float(run(params, REPS_SMALL))
         float(run(params, REPS_LARGE))

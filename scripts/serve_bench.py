@@ -211,7 +211,9 @@ def main() -> None:
     # --- online adds (POST /add) ----------------------------------------
     adds = None
     if args.adds:
-        assert not args.hybrid, "--adds measures the embedding index"
+        if args.hybrid:
+            raise SystemExit("--adds measures the embedding index "
+                             "(hybrid indexes reject online adds)")
         alat = []
         for i in range(args.adds):
             vecs = rng.normal(size=(16, args.dim)).astype(np.float32)

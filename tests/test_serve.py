@@ -563,3 +563,24 @@ def test_http_remove_endpoint(graph):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_remove_query_returns_empty_in_batch_not_poisoning():
+    rng = np.random.default_rng(23)
+    idx = EmbeddingIndex(rng.normal(size=(100, 8)).astype(np.float32),
+                         k_cap=16)
+    idx.remove_tracks([4])
+    out = idx.knn_rows(np.array([3, 4, 5]), k=5)
+    assert out[1] == []                       # dead query row -> []
+    assert len(out[0]) == 5 and len(out[2]) == 5   # neighbors unaffected
+
+
+def test_add_tracks_auto_compacts_past_threshold():
+    rng = np.random.default_rng(24)
+    idx = EmbeddingIndex(rng.normal(size=(64, 8)).astype(np.float32),
+                         k_cap=16)
+    idx.add_tracks(rng.normal(size=(1030, 8)).astype(np.float32))
+    assert idx._delta_dev is None             # folded automatically
+    assert idx.n == 64 + 1030
+    w = idx.knn(1000, 5)
+    assert len(w) == 5
