@@ -43,6 +43,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _select_topk(sims: jnp.ndarray, kk: int):
+    """Serving selection primitive: TPU ApproxTopK at recall_target=1.0.
+
+    Score-EXACT (verified max|dw| = 0 at the [B, 1M] serving shape);
+    only the order among bit-equal scores differs from lax.top_k —
+    arbitrary in the reference's torch.topk too.  Measured 1.21-1.32x
+    over the sort-based top_k at k=128 over a 1M-row panel
+    (results/serve_topk_ab.json); at the EVAL instrument's shape
+    (k=1000 over 8k chunks) it is neutral, so ops/knn keeps lax.top_k
+    and list-instrument tie semantics stay put."""
+    return jax.lax.approx_max_k(sims, kk, recall_target=1.0)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _query_topk(unit_emb: jnp.ndarray, row: jnp.ndarray, k: int):
     """One-query cosine top-(k+1): [N, d] x [d] matvec + top_k.
@@ -52,7 +65,7 @@ def _query_topk(unit_emb: jnp.ndarray, row: jnp.ndarray, k: int):
     slot 0 and the query itself in slot 1."""
     sims = jnp.dot(unit_emb, unit_emb[row],
                    precision=jax.lax.Precision.HIGHEST)  # see ops/knn.py
-    return jax.lax.top_k(sims, k + 1)
+    return _select_topk(sims, k + 1)
 
 
 @partial(jax.jit, static_argnames=("n_hops", "k", "n_chains"))
@@ -75,7 +88,7 @@ def _hybrid_topk_batch(tables, unit_emb: jnp.ndarray, rows: jnp.ndarray,
     sims = jnp.dot(unit_emb[rows], unit_emb.T,
                    precision=jax.lax.Precision.HIGHEST)
     sims = sims.at[jnp.arange(rows.shape[0]), rows].set(-jnp.inf)  # self
-    tail_w, tail_n = jax.lax.top_k(sims, k)
+    tail_w, tail_n = _select_topk(sims, k)
     return merge_topk(head_w, head_n, tail_w, tail_n)
 
 
@@ -97,7 +110,7 @@ def _hybrid_topk_batch_int8(tables, q_values, q_scales, q: jnp.ndarray,
     head_w, head_n = visit_counts_topt(trace, rows, k)
     sims = int8_scores(q_values, q_scales, q)
     sims = sims.at[jnp.arange(rows.shape[0]), rows].set(-jnp.inf)  # self
-    tail_w, tail_n = jax.lax.top_k(sims, k)
+    tail_w, tail_n = _select_topk(sims, k)
     return merge_topk(head_w, head_n, tail_w, tail_n)
 
 
@@ -120,7 +133,7 @@ def _hybrid_topk_batch_cached(nbhd_w: jnp.ndarray, nbhd_n: jnp.ndarray,
     sims = jnp.dot(unit_emb[rows], unit_emb.T,
                    precision=jax.lax.Precision.HIGHEST)
     sims = sims.at[jnp.arange(rows.shape[0]), rows].set(-jnp.inf)  # self
-    tail_w, tail_n = jax.lax.top_k(sims, k)
+    tail_w, tail_n = _select_topk(sims, k)
     return merge_topk(head_w, head_n, tail_w, tail_n)
 
 
@@ -138,7 +151,7 @@ def _hybrid_topk_batch_cached_int8(nbhd_w: jnp.ndarray,
     head_n = nbhd_n[rows]
     sims = int8_scores(q_values, q_scales, q)
     sims = sims.at[jnp.arange(rows.shape[0]), rows].set(-jnp.inf)  # self
-    tail_w, tail_n = jax.lax.top_k(sims, k)
+    tail_w, tail_n = _select_topk(sims, k)
     return merge_topk(head_w, head_n, tail_w, tail_n)
 
 
@@ -151,7 +164,7 @@ def _query_topk_batch(unit_emb: jnp.ndarray, rows: jnp.ndarray, k: int):
     q = unit_emb[rows]                                     # [B, d]
     sims = jnp.dot(q, unit_emb.T,
                    precision=jax.lax.Precision.HIGHEST)    # [B, N]
-    return jax.lax.top_k(sims, k + 1)
+    return _select_topk(sims, k + 1)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -170,7 +183,7 @@ def _query_topk_batch_delta(unit_emb: jnp.ndarray, delta: jnp.ndarray,
     dead = jax.lax.broadcasted_iota(
         jnp.int32, (1, delta.shape[0]), 1) >= count
     sims_d = jnp.where(dead, -jnp.inf, sims_d)
-    return jax.lax.top_k(jnp.concatenate([sims_m, sims_d], axis=1), k + 1)
+    return _select_topk(jnp.concatenate([sims_m, sims_d], axis=1), k + 1)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -187,7 +200,7 @@ def _query_topk_batch_delta_int8(values: jnp.ndarray, scales: jnp.ndarray,
     dead = jax.lax.broadcasted_iota(
         jnp.int32, (1, delta.shape[0]), 1) >= count
     sims_d = jnp.where(dead, -jnp.inf, sims_d)
-    return jax.lax.top_k(jnp.concatenate([sims_m, sims_d], axis=1), k + 1)
+    return _select_topk(jnp.concatenate([sims_m, sims_d], axis=1), k + 1)
 
 
 class TrackResolverMixin:
