@@ -29,6 +29,7 @@ path is optimized for online latency.
 
 from __future__ import annotations
 
+import os
 import json
 import queue
 import threading
@@ -52,7 +53,10 @@ def _select_topk(sims: jnp.ndarray, kk: int):
     over the sort-based top_k at k=128 over a 1M-row panel
     (results/serve_topk_ab.json); at the EVAL instrument's shape
     (k=1000 over 8k chunks) it is neutral, so ops/knn keeps lax.top_k
-    and list-instrument tie semantics stay put."""
+    and list-instrument tie semantics stay put.
+    GCN_TPU_SERVE_SORT_TOPK=1 restores the sort primitive (A/B knob)."""
+    if os.environ.get("GCN_TPU_SERVE_SORT_TOPK"):
+        return jax.lax.top_k(sims, kk)
     return jax.lax.approx_max_k(sims, kk, recall_target=1.0)
 
 
