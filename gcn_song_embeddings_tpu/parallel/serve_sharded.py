@@ -12,7 +12,10 @@ axis and each query fans out as the classic distributed-MIPS schedule:
        (parallel/gather.sharded_table_gather — all_gather ids +
        psum_scatter rows, riding ICI),
     2. every device scores the replicated queries against ITS catalog
-       shard on the MXU and takes a LOCAL top-k,
+       shard on the MXU and takes a LOCAL top-k (via the serving
+       selection primitive serve._select_topk — ApproxTopK at
+       recall 1.0, score-exact, kernel-measured 1.2-1.3x over sort
+       at this k/N regime),
     3. `all_gather` the [g, B, k] candidate lists (k·g rows per query —
        tiny next to the [B, N/g] score panels that never leave a device),
     4. re-rank the g·k candidates with one replicated top-k.
@@ -47,7 +50,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gcn_song_embeddings_tpu.ops.merge import merge_topk
-from gcn_song_embeddings_tpu.serve import TrackResolverMixin
+from gcn_song_embeddings_tpu.serve import TrackResolverMixin, _select_topk
 from gcn_song_embeddings_tpu.ops.quantize import int8_scores, quantize_rows
 from gcn_song_embeddings_tpu.parallel.gather import (
     sharded_table_gather,
@@ -197,7 +200,7 @@ class ShardedServeIndex:
             def kernel(rows, q, values_local, scales_local):
                 sims = _local_scores_int8(values_local, scales_local, q,
                                           rows, n_valid, "graph")
-                w_loc, i_loc = lax.top_k(sims, k)
+                w_loc, i_loc = _select_topk(sims, k)
                 my = lax.axis_index("graph")
                 n_loc = i_loc + my * values_local.shape[0]
                 return _rerank(w_loc, n_loc, k, "graph")
@@ -207,7 +210,7 @@ class ShardedServeIndex:
             def kernel(emb_local, rows):
                 q = gather(emb_local, rows, "graph")             # [B, d]
                 sims = _local_scores(emb_local, q, rows, n_valid, "graph")
-                w_loc, i_loc = lax.top_k(sims, k)
+                w_loc, i_loc = _select_topk(sims, k)
                 my = lax.axis_index("graph")
                 n_loc = i_loc + my * emb_local.shape[0]
                 return _rerank(w_loc, n_loc, k, "graph")
@@ -233,7 +236,7 @@ class ShardedServeIndex:
                 head_n = gather(nb_n_local, rows, "graph")
                 sims = _local_scores_int8(values_local, scales_local, q,
                                           rows, n_valid, "graph")
-                w_loc, i_loc = lax.top_k(sims, k)
+                w_loc, i_loc = _select_topk(sims, k)
                 my = lax.axis_index("graph")
                 n_loc = i_loc + my * values_local.shape[0]
                 tail_w, tail_n = _rerank(w_loc, n_loc, k, "graph")
@@ -247,7 +250,7 @@ class ShardedServeIndex:
                 head_w = gather(nb_w_local, rows, "graph")
                 head_n = gather(nb_n_local, rows, "graph")
                 sims = _local_scores(emb_local, q, rows, n_valid, "graph")
-                w_loc, i_loc = lax.top_k(sims, k)
+                w_loc, i_loc = _select_topk(sims, k)
                 my = lax.axis_index("graph")
                 n_loc = i_loc + my * emb_local.shape[0]
                 tail_w, tail_n = _rerank(w_loc, n_loc, k, "graph")
