@@ -439,7 +439,11 @@ class EmbeddingIndex(TrackResolverMixin):
         """Fold the online-add delta into the main device table (one
         re-upload; re-quantizes on an int8 index).  Queries return to the
         single-matmul kernels."""
-        if self._delta_dev is None:
+        # guard on the HOST staging buffer: the auto-fold path calls
+        # compact() before the device delta was ever uploaded (a
+        # _delta_dev-is-None guard here silently no-op'd and corrupted
+        # the index: n grew but no table held the new rows)
+        if len(self._delta_host) == 0:
             return
         if self.quantized:
             from gcn_song_embeddings_tpu.ops.quantize import quantize_rows
@@ -518,7 +522,8 @@ class EmbeddingIndex(TrackResolverMixin):
                   if self._tombstones else np.zeros(rows.shape, bool))
         rows = rows.astype(np.int32)
         if self.n <= 3 and self._delta_dev is None:  # tiny: exact path
-            return [self.knn(int(r), k) for r in rows]
+            return [[] if int(r) in self._tombstones
+                    else self.knn(int(r), k) for r in rows]
         k = max(min(k, self.k_cap, self.n - 1), 1)
         b = 1 << (int(rows.size) - 1).bit_length()         # next pow2
         padded = np.zeros((b,), np.int32)
@@ -887,6 +892,31 @@ def serve(index: EmbeddingIndex, host: str = "127.0.0.1", port: int = 8800,
     return server
 
 
+def _cached_head_artifacts(dataset_dir: str, colisten: int):
+    """Resolve the cached-head hybrid's inputs for a dataset dir: load
+    the train positives, apply the colisten config (shared cache-naming
+    helper), and sweep/load the neighborhoods artifact.  One recipe for
+    BOTH the single-chip and the sharded serve paths — keep them from
+    diverging."""
+    from gcn_song_embeddings_tpu.config import WalkConfig
+    from gcn_song_embeddings_tpu.data import SongGraph
+    from gcn_song_embeddings_tpu.data.device import (
+        DeviceGraph,
+        apply_colisten_config,
+    )
+    from gcn_song_embeddings_tpu.ops.ppr import precompute_neighborhoods
+
+    graph = SongGraph(dataset_dir)
+    train_pos, _ = graph.load_positives_split(
+        os.path.join(dataset_dir, "positives.json"))
+    wcfg = WalkConfig(colisten_copies=colisten)
+    dg, nb_path = apply_colisten_config(
+        DeviceGraph.from_graph(graph), train_pos, wcfg,
+        os.path.join(dataset_dir, "neighborhoods.npz"))
+    nbhds = precompute_neighborhoods(dg, wcfg, nb_path, verbose=True)
+    return graph, train_pos, nbhds
+
+
 def main() -> None:
     import argparse
 
@@ -930,8 +960,6 @@ def main() -> None:
     args = ap.parse_args()
     graph = SongGraph(args.dataset) if args.dataset else None
     if args.sharded:
-        import os
-
         from gcn_song_embeddings_tpu.parallel.serve_sharded import (
             ShardedServeIndex,
             ShardedServingFrontend,
@@ -944,23 +972,8 @@ def main() -> None:
                          "(per-query walk scans don't shard)")
             if graph is None:
                 ap.error("--hybrid requires --dataset")
-            from gcn_song_embeddings_tpu.config import WalkConfig
-            from gcn_song_embeddings_tpu.data.device import (
-                DeviceGraph,
-                apply_colisten_config,
-            )
-            from gcn_song_embeddings_tpu.ops.ppr import (
-                precompute_neighborhoods,
-            )
-
-            train_pos, _ = graph.load_positives_split(
-                os.path.join(args.dataset, "positives.json"))
-            wcfg = WalkConfig(colisten_copies=args.colisten)
-            dg, nb_path = apply_colisten_config(
-                DeviceGraph.from_graph(graph), train_pos, wcfg,
-                os.path.join(args.dataset, "neighborhoods.npz"))
-            nbhds = precompute_neighborhoods(dg, wcfg, nb_path,
-                                             verbose=True)
+            graph, _, nbhds = _cached_head_artifacts(args.dataset,
+                                                     args.colisten)
         sindex = ShardedServeIndex(np.load(args.emb), nbhds=nbhds,
                                    quantized=args.int8)
         index = ShardedServingFrontend(
@@ -973,34 +986,20 @@ def main() -> None:
         serve(index, port=args.port).serve_forever()
         return
     if args.hybrid:
-        import os
-
         from gcn_song_embeddings_tpu.data.device import DeviceGraph
 
         if graph is None:
             ap.error("--hybrid requires --dataset (the graph to walk)")
-        train_pos, _ = graph.load_positives_split(
-            os.path.join(args.dataset, "positives.json"))
         if args.cached_head:
-            from gcn_song_embeddings_tpu.config import WalkConfig
-            from gcn_song_embeddings_tpu.data.device import (
-                apply_colisten_config,
-            )
-            from gcn_song_embeddings_tpu.ops.ppr import (
-                precompute_neighborhoods,
-            )
-
-            wcfg = WalkConfig(colisten_copies=args.colisten)
-            dg, nb_path = apply_colisten_config(
-                DeviceGraph.from_graph(graph), train_pos, wcfg,
-                os.path.join(args.dataset, "neighborhoods.npz"))
-            nbhds = precompute_neighborhoods(dg, wcfg, nb_path,
-                                             verbose=True)
+            graph, _, nbhds = _cached_head_artifacts(args.dataset,
+                                                     args.colisten)
             index = HybridIndex(
                 np.load(args.emb), nbhds=nbhds,
                 track_ids=graph.track_ids, tracks_meta=graph.tracks,
                 quantized=args.int8)
         else:
+            train_pos, _ = graph.load_positives_split(
+                os.path.join(args.dataset, "positives.json"))
             index = HybridIndex(
                 np.load(args.emb), DeviceGraph.from_graph(graph),
                 train_pairs=train_pos, colisten_copies=args.colisten,

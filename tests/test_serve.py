@@ -577,10 +577,29 @@ def test_remove_query_returns_empty_in_batch_not_poisoning():
 
 def test_add_tracks_auto_compacts_past_threshold():
     rng = np.random.default_rng(24)
-    idx = EmbeddingIndex(rng.normal(size=(64, 8)).astype(np.float32),
-                         k_cap=16)
-    idx.add_tracks(rng.normal(size=(1030, 8)).astype(np.float32))
-    assert idx._delta_dev is None             # folded automatically
+    base = rng.normal(size=(64, 8)).astype(np.float32)
+    idx = EmbeddingIndex(base, k_cap=16)
+    extra = rng.normal(size=(1030, 8)).astype(np.float32)
+    extra[500] = base[5]                     # duplicate planted mid-delta
+    idx.add_tracks(extra)
+    assert idx._delta_dev is None            # folded automatically
     assert idx.n == 64 + 1030
-    w = idx.knn(1000, 5)
-    assert len(w) == 5
+    # the fold must actually SERVE the new rows: the planted duplicate
+    # of row 5 ranks top-1 both ways (a no-op compact left the device
+    # table at 64 rows and silently clamped every new-row gather)
+    assert idx.knn(5, 5)[0]["index"] == 64 + 500
+    assert idx.knn(64 + 500, 5)[0]["index"] == 5
+    assert idx.unit.shape[0] == idx.n
+
+
+def test_tiny_catalog_tombstone_returns_empty():
+    # positively-correlated rows: live candidates outrank the zero-score
+    # tombstone (the documented contract — a tombstone only displaces
+    # non-positive-cosine candidates)
+    emb = np.array([[1.0, 0.1], [0.5, 0.5], [0.9, 0.3]], np.float32)
+    idx = EmbeddingIndex(emb)
+    idx.remove_tracks([1])
+    out = idx.knn_rows(np.array([0, 1, 2]), k=1)
+    assert out[1] == []                     # dead row -> [], not KeyError
+    assert [o["index"] for o in out[0]] == [2]
+    assert [o["index"] for o in out[2]] == [0]
